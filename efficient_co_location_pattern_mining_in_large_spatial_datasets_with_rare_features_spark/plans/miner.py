@@ -1,0 +1,435 @@
+"""Level-wise joinless co-location miner (WPI measure, rare features).
+
+The cluster does the heavy lifting (neighbor pairs, star edges, clique
+table-instance joins, distinct participation counts); the driver holds only
+the tiny candidate/prevalent bookkeeping — candidate sets are bounded by the
+number of *feature* subsets, not instances, so they are at most a few
+thousand tuples even at 10^12 instances.
+
+Per-level dataflow (paper Algorithms 1-3; reference src/miner.cpp:24-98):
+
+    C_k  = apriori join of prevalent (k-1) patterns      [driver, J7]
+    C_k' = Lemma-2 + Lemma-3 pruning (skipped at k=2)    [driver, J8]
+    T_k  = T_{k-1} x star_edges clique-extension join    [cluster, J5/J6]
+    PR   = per (pattern, position) countDistinct         [cluster, A6]
+    P_k  = { C : min_f PR(f,C) * w(f,C) >= min_prev }    [driver, A9]
+
+Reference-semantics riders replicated exactly (FIXTURES.md §5):
+
+- k=2 candidates skip the Lemma filters (src/miner.cpp:69);
+- level-k Lemma-3 PI lookups hit the *previous level's full filtered
+  candidate set* (prevalent and non-prevalent, src/miner.cpp:94); a pattern
+  with no table rows has PR = 0 and prunes (src/utils.cpp:171-181);
+- only sizes k >= 2 are emitted (src/miner.cpp:53-57,91).
+
+Checkpoint/resume: with ``config.checkpoint_dir`` set, each level's table
+instance is written to parquet together with a JSON manifest carrying the
+level's candidates, prevalent set, PI map, per-partition row counts and
+lineage ids; ``mine(resume=True)`` reloads the last complete level and
+continues, so a failure mid-level-k costs only that level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ColocationConfig
+from ..functions import measures
+from ..operators.pairs import neighbor_pairs
+from ..operators.stars import star_edges
+
+Pattern = tuple[str, ...]
+
+
+def generate_candidates(prevalent: Sequence[Pattern], rank: Mapping[str, int]) -> list[Pattern]:
+    """Apriori candidate join: two prevalent (k-1)-patterns sharing their
+    (k-2)-prefix produce prefix + both tails in canonical rank order.
+
+    Reference: src/miner.cpp:102-149 (tail ordering at :131-137, sort+unique
+    dedup at :144-146).
+    """
+    out: set[Pattern] = set()
+    pats = sorted(prevalent)
+    for i in range(len(pats)):
+        for j in range(i + 1, len(pats)):
+            p, q = pats[i], pats[j]
+            if p[:-1] != q[:-1]:
+                continue
+            t1, t2 = p[-1], q[-1]
+            if t1 == t2:
+                continue
+            if rank[t1] > rank[t2]:
+                t1, t2 = t2, t1
+            out.add(p[:-1] + (t1, t2))
+    return sorted(out, key=lambda c: tuple(rank[f] for f in c))
+
+
+def filter_candidates(
+    candidates: Sequence[Pattern],
+    prevalent_prev: set[Pattern],
+    pi_prev: Mapping[Pattern, float],
+    counts: Mapping[str, int],
+    delta_value: float,
+    min_prev: float,
+) -> list[Pattern]:
+    """Lemma-2 + Lemma-3 pruning (reference src/miner.cpp:152-215).
+
+    Candidates are canonically rank-ordered, so ``c[0]`` is the rarest
+    feature f_min and ``c[-1]`` the most common f_max.
+
+    - Lemma 2 (conditional anti-monotone, :178-184): every (k-1)-subset that
+      *keeps* f_min (i.e. drops index >= 1) must be prevalent.
+    - Lemma 3 (upper bound, :188-208): for the subset that drops f_min,
+      ``PI(c[1:]) * w(f_max, C) >= min_prev`` must hold; a subset missing
+      from the previous level's tables contributes PI = 0 and prunes.
+    """
+    kept = []
+    for c in candidates:
+        ok = True
+        for idx in range(1, len(c)):
+            sub = c[:idx] + c[idx + 1 :]
+            if sub not in prevalent_prev:
+                ok = False
+                break
+        if ok:
+            sub0 = c[1:]
+            pi_val = pi_prev.get(sub0, 0.0)
+            w_max = measures.weight(counts[c[-1]], counts[c[0]], delta_value)
+            if pi_val * w_max < min_prev:
+                ok = False
+        if ok:
+            kept.append(c)
+    return kept
+
+
+@dataclass
+class LevelStats:
+    k: int
+    n_candidates: int
+    n_filtered: int
+    n_prevalent: int
+    table_rows: int
+    seconds: float
+
+
+@dataclass
+class MiningResult:
+    patterns: list[Pattern]
+    wpi: dict[Pattern, float]
+    counts: dict[str, int]
+    delta: float
+    pair_count: int
+    levels: list[LevelStats] = field(default_factory=list)
+
+    def by_size(self) -> dict[int, list[Pattern]]:
+        out: dict[int, list[Pattern]] = {}
+        for p in self.patterns:
+            out.setdefault(len(p), []).append(p)
+        return out
+
+    def patterns_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (list(p), len(p), float(self.wpi[p])) for p in sorted(self.patterns, key=lambda p: (len(p), p))
+        ]
+        return spark.createDataFrame(
+            rows, "pattern array<string>, size int, wpi double"
+        )
+
+    def render(self, rank: Mapping[str, int]) -> list[str]:
+        """Reference rendering: features ascending (count, name) in braces."""
+        ordered = sorted(self.patterns, key=lambda p: (len(p), tuple(rank[f] for f in p)))
+        return ["{" + ", ".join(p) + "}" for p in ordered]
+
+
+class ColocationMiner:
+    """End-to-end mining plan over an instance DataFrame
+    ``(feature string, id string, x double, y double)``."""
+
+    def __init__(self, spark: SparkSession, config: ColocationConfig):
+        self.spark = spark
+        self.config = config
+
+    # ------------------------------------------------------------------ io
+    def _ckpt_path(self, *parts: str) -> str:
+        assert self.config.checkpoint_dir
+        return os.path.join(self.config.checkpoint_dir, *parts)
+
+    def _write_level(
+        self,
+        k: int,
+        table: DataFrame,
+        table_rows: int,
+        filtered: list[Pattern],
+        prevalent: list[Pattern],
+        pi_map: dict[Pattern, float],
+        wpi_map: dict[Pattern, float],
+    ) -> None:
+        if not self.config.checkpoint_dir:
+            return
+        path = self._ckpt_path(f"level_{k}")
+        table.write.mode("overwrite").parquet(os.path.join(path, "table"))
+        written = self.spark.read.parquet(os.path.join(path, "table"))
+        part_counts = [
+            [r["pid"], r["rows"]]
+            for r in written.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        manifest = {
+            "level": k,
+            "row_count": table_rows,
+            "partition_row_counts": part_counts,
+            "filtered_candidates": [list(p) for p in filtered],
+            "prevalent": [list(p) for p in prevalent],
+            "pi": {",".join(p): v for p, v in pi_map.items()},
+            "wpi": {",".join(p): v for p, v in wpi_map.items()},
+            "lineage": {
+                "config": {
+                    "neighbor_distance": self.config.neighbor_distance,
+                    "min_prevalence": self.config.min_prevalence,
+                },
+                "written_at": time.time(),
+            },
+        }
+        tmp = self._ckpt_path(f"level_{k}", "manifest.json.tmp")
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._ckpt_path(f"level_{k}", "manifest.json"))
+
+    def _load_manifests(self) -> list[dict]:
+        if not self.config.checkpoint_dir or not os.path.isdir(self.config.checkpoint_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.config.checkpoint_dir)):
+            mpath = os.path.join(self.config.checkpoint_dir, name, "manifest.json")
+            if name.startswith("level_") and os.path.exists(mpath):
+                with open(mpath) as f:
+                    out.append(json.load(f))
+        out.sort(key=lambda m: m["level"])
+        return out
+
+    # ---------------------------------------------------------------- plan
+    def build_pairs(self, instances: DataFrame) -> DataFrame:
+        cfg = self.config
+        return neighbor_pairs(
+            instances,
+            cfg.neighbor_distance,
+            cell_size=cfg.effective_cell_size(),
+            salt_threshold=cfg.salt_threshold,
+            salt_buckets=cfg.salt_buckets,
+            adaptive_cell_split=cfg.adaptive_cell_split,
+        )
+
+    def _table_k(
+        self,
+        t_prev: DataFrame,
+        edges: DataFrame,
+        candidates: list[Pattern],
+        k: int,
+    ) -> DataFrame:
+        """Clique-extension join: T_k rows = T_{k-1} rows of each candidate's
+        prefix, extended by instances neighboring *every* member (the paper's
+        S(I, f) = intersection of Neigh(o, f), Def. 8 eq. 10; reference
+        src/miner.cpp:264-379).  Relationally: explode row members, hash-join
+        member -> star edge on instance id, keep extensions seen k-1 times.
+        """
+        spark = self.spark
+        cand_df = spark.createDataFrame(
+            [(list(c[:-1]), c[-1]) for c in candidates],
+            "prefix array<string>, f_new string",
+        )
+        new_features = sorted({c[-1] for c in candidates})
+        edges_k = edges.filter(F.col("nbr_feature").isin(new_features))
+
+        base = t_prev.join(
+            F.broadcast(cand_df), t_prev.pattern == cand_df.prefix, "inner"
+        ).select(
+            F.concat(F.col("pattern"), F.array(F.col("f_new"))).alias("pattern"),
+            F.col("inst"),
+            F.col("f_new"),
+            F.explode(F.col("inst")).alias("member_id"),
+        )
+        joined = base.join(
+            edges_k,
+            (base.member_id == edges_k.center_id)
+            & (base.f_new == edges_k.nbr_feature),
+            "inner",
+        )
+        return (
+            joined.groupBy("pattern", "inst", "nbr_id")
+            .count()
+            .filter(F.col("count") == k - 1)
+            .select(
+                F.col("pattern"),
+                F.concat(F.col("inst"), F.array(F.col("nbr_id"))).alias("inst"),
+            )
+        )
+
+    def _participation(self, t_k: DataFrame) -> dict[Pattern, dict[int, int]]:
+        """A6: distinct participating instances per (pattern, position)."""
+        rows = (
+            t_k.select(F.col("pattern"), F.posexplode(F.col("inst")))
+            .groupBy("pattern", "pos")
+            .agg(F.countDistinct("col").alias("n"))
+            .collect()
+        )
+        out: dict[Pattern, dict[int, int]] = {}
+        for r in rows:
+            out.setdefault(tuple(r["pattern"]), {})[r["pos"]] = r["n"]
+        return out
+
+    def _select_prevalent(
+        self,
+        candidates: list[Pattern],
+        part: dict[Pattern, dict[int, int]],
+        counts: dict[str, int],
+        delta_value: float,
+    ) -> tuple[list[Pattern], dict[Pattern, float], dict[Pattern, float]]:
+        prevalent: list[Pattern] = []
+        pi_map: dict[Pattern, float] = {}
+        wpi_map: dict[Pattern, float] = {}
+        for c in candidates:
+            by_pos = part.get(c, {})
+            participating = {f: by_pos.get(i, 0) for i, f in enumerate(c)}
+            pi_map[c] = measures.pi(c, participating, counts)
+            w = measures.wpi(c, participating, counts, delta_value)
+            wpi_map[c] = w
+            if w >= self.config.min_prevalence:
+                prevalent.append(c)
+        return prevalent, pi_map, wpi_map
+
+    # ---------------------------------------------------------------- mine
+    def mine(self, instances: DataFrame, resume: bool = False) -> MiningResult:
+        cfg = self.config
+        spark = self.spark
+
+        counts = {
+            r["feature"]: r["count"]
+            for r in instances.groupBy("feature").count().collect()
+        }
+        rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
+        delta_value = measures.delta(counts)
+
+        pairs = self.build_pairs(instances)
+        if cfg.persist_intermediates:
+            pairs = pairs.persist()
+        pair_count = pairs.count()
+
+        edges = star_edges(pairs, counts)
+        if cfg.persist_intermediates:
+            edges = edges.repartition(F.col("center_id")).persist()
+            edges.count()
+
+        all_patterns: list[Pattern] = []
+        all_wpi: dict[Pattern, float] = {}
+        levels: list[LevelStats] = []
+
+        # Level 2 init (or resume from checkpointed level state).
+        start_k = 2
+        t_prev: DataFrame | None = None
+        prevalent_prev: list[Pattern] = []
+        pi_prev: dict[Pattern, float] = {}
+        if resume:
+            manifests = self._load_manifests()
+            if manifests:
+                last = manifests[-1]
+                start_k = last["level"] + 1
+                t_prev = spark.read.parquet(
+                    self._ckpt_path(f"level_{last['level']}", "table")
+                )
+                for m in manifests:
+                    prev = [tuple(p) for p in m["prevalent"]]
+                    all_patterns.extend(prev)
+                    for key, v in m["wpi"].items():
+                        pat = tuple(key.split(","))
+                        if pat in set(prev):
+                            all_wpi[pat] = v
+                prevalent_prev = [tuple(p) for p in last["prevalent"]]
+                pi_prev = {tuple(k.split(",")): v for k, v in last["pi"].items()}
+
+        k = start_k
+        features_ranked = measures.rank_features(counts)
+        while True:
+            t0 = time.time()
+            if k == 2:
+                # C_2 = all rank-ordered feature pairs; no Lemma filtering
+                # (reference src/miner.cpp:64-71).
+                candidates = [
+                    (features_ranked[i], features_ranked[j])
+                    for i in range(len(features_ranked))
+                    for j in range(i + 1, len(features_ranked))
+                ]
+                filtered = candidates
+                t_k = edges.select(
+                    F.array(F.col("center_feature"), F.col("nbr_feature")).alias(
+                        "pattern"
+                    ),
+                    F.array(F.col("center_id"), F.col("nbr_id")).alias("inst"),
+                )
+            else:
+                if not prevalent_prev:
+                    break
+                candidates = generate_candidates(prevalent_prev, rank)
+                filtered = filter_candidates(
+                    candidates,
+                    set(prevalent_prev),
+                    pi_prev,
+                    counts,
+                    delta_value,
+                    cfg.min_prevalence,
+                )
+                if not filtered:
+                    break
+                t_k = self._table_k(t_prev, edges, filtered, k)
+
+            # Truncate lineage: each level joins against the previous one and
+            # the plan tree would otherwise grow exponentially (SURVEY §7).
+            # localCheckpoint also persists the level's rows for the next join.
+            t_k = t_k.localCheckpoint(eager=True)
+            table_rows = t_k.count()
+
+            part = self._participation(t_k)
+            prevalent, pi_map, wpi_map = self._select_prevalent(
+                filtered, part, counts, delta_value
+            )
+            self._write_level(k, t_k, table_rows, filtered, prevalent, pi_map, wpi_map)
+
+            all_patterns.extend(prevalent)
+            for c in prevalent:
+                all_wpi[c] = wpi_map[c]
+            levels.append(
+                LevelStats(k, len(candidates), len(filtered), len(prevalent), table_rows, time.time() - t0)
+            )
+
+            if t_prev is not None and cfg.persist_intermediates:
+                t_prev.unpersist()
+            t_prev = t_k
+            prevalent_prev, pi_prev = prevalent, pi_map
+            k += 1
+            if not prevalent_prev:
+                break
+            if cfg.max_pattern_size is not None and k > cfg.max_pattern_size:
+                break
+            if k > len(counts):
+                break
+
+        if cfg.persist_intermediates:
+            pairs.unpersist()
+            edges.unpersist()
+
+        return MiningResult(
+            patterns=all_patterns,
+            wpi=all_wpi,
+            counts=counts,
+            delta=delta_value,
+            pair_count=pair_count,
+            levels=levels,
+        )
