@@ -1,0 +1,108 @@
+"""Miner end-to-end: sample_data golden, stars, checkpoint/resume, and
+randomized property tests against the exhaustive NumPy oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark import oracle
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.pairs import (
+    neighbor_pairs,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.stars import (
+    star_edges,
+    star_table,
+)
+
+GOLD_SAMPLE = {
+    frozenset(p)
+    for p in [
+        ("B", "A"), ("B", "C"), ("C", "A"), ("D", "A"), ("D", "C"),
+        ("B", "C", "A"), ("D", "C", "A"),
+    ]
+}
+
+
+def test_sample_data_golden(spark, sample_instances):
+    cfg = eng.ColocationConfig(5.0, 0.6)
+    res = eng.ColocationMiner(spark, cfg).mine(sample_instances)
+    assert res.pair_count == 48
+    assert abs(res.delta - 1.30556) < 1e-4
+    assert {frozenset(p) for p in res.patterns} == GOLD_SAMPLE
+    # every emitted pattern is canonically rank-ordered
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.measures import (
+        rank_features,
+    )
+    rank = {f: i for i, f in enumerate(rank_features(res.counts))}
+    for p in res.patterns:
+        assert list(p) == sorted(p, key=lambda f: rank[f])
+
+
+def test_star_edges_one_per_pair(spark, sample_instances):
+    pairs = neighbor_pairs(sample_instances, 5.0)
+    counts = {r["feature"]: r["count"] for r in sample_instances.groupBy("feature").count().collect()}
+    edges = star_edges(pairs, counts)
+    assert edges.count() == pairs.count()
+    # orientation: center feature strictly rarer (or name-tie-smaller)
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.stars import (
+        feature_rank,
+    )
+    rank = feature_rank(counts)
+    for r in edges.collect():
+        assert rank[r["center_feature"]] < rank[r["nbr_feature"]]
+
+
+def test_star_table_grouping(spark, sample_instances):
+    pairs = neighbor_pairs(sample_instances, 5.0)
+    counts = {r["feature"]: r["count"] for r in sample_instances.groupBy("feature").count().collect()}
+    st = star_table(star_edges(pairs, counts))
+    row = {(r["center_id"], r["nbr_feature"]): r["nbr_ids"] for r in st.collect()}
+    for ids in row.values():
+        assert ids == sorted(ids) and len(ids) == len(set(ids))
+
+
+def test_checkpoint_resume_identical(spark, sample_instances, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    cfg = eng.ColocationConfig(5.0, 0.6, checkpoint_dir=ck)
+    res_full = eng.ColocationMiner(spark, cfg).mine(sample_instances)
+    # simulate failure after level 2: drop the level-3 checkpoint then resume
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "level_3"))
+    res_resumed = eng.ColocationMiner(spark, cfg).mine(sample_instances, resume=True)
+    assert {frozenset(p) for p in res_resumed.patterns} == {
+        frozenset(p) for p in res_full.patterns
+    }
+    # manifests carry row counts and per-partition lineage metrics
+    import json
+
+    with open(os.path.join(ck, "level_2", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["row_count"] == 48
+    assert sum(c for _, c in m["partition_row_counts"]) == 48
+    assert m["lineage"]["config"]["neighbor_distance"] == 5.0
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_mining_matches_oracle(spark, seed):
+    rng = np.random.default_rng(seed)
+    rows = oracle.make_random_dataset(rng, n_features=4, n_instances=36, extent=18.0)
+    d = 4.0
+    min_prev = 0.35
+    expected, info = oracle.brute_force_mine(rows, d, min_prev)
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    res = eng.ColocationMiner(spark, eng.ColocationConfig(d, min_prev)).mine(df)
+    assert {tuple(p) for p in res.patterns} == expected
+    assert abs(res.delta - info["delta"]) < 1e-9
+    assert res.pair_count == len(info["pairs"])
+
+
+def test_max_pattern_size_cap(spark, sample_instances):
+    cfg = eng.ColocationConfig(5.0, 0.6, max_pattern_size=2)
+    res = eng.ColocationMiner(spark, cfg).mine(sample_instances)
+    assert all(len(p) == 2 for p in res.patterns)
+    assert {frozenset(p) for p in res.patterns} == {
+        p for p in GOLD_SAMPLE if len(p) == 2
+    }
