@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data-pipeline additions) as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for each one that is
+SQL-expressible (the iterative miner, LSH-approximate search and simhash
+sketches are rows-only checks by design — hash-internal state isn't ANSI SQL).
+
+Determinism rules shared by both sides (see package docstrings):
+spatial instances are derived from ``events`` with integer LCG arithmetic;
+embedding math is integer-quantized; text metrics are integer/md5-based;
+float outputs always come from identical integer inputs through the same
+operation order, so value hashes agree bitwise.
 """
 
 from __future__ import annotations
@@ -12,27 +18,552 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions import (
+    text as T,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators import (
+    dedup,
+    similarity,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+    compute_bounds,
+    with_cell,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.pairs import (
+    neighbor_pairs,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.stars import (
+    star_edges,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+    DEFAULT_D,
+    DEFAULT_MIN_PREV,
+    instances_from_events,
+)
+
+D = DEFAULT_D            # neighbor distance on the derived 1000x1000 plane
+MIN_PREV = DEFAULT_MIN_PREV
+JACCARD_T = 0.5
+MINHASH_T = 0.8
+ANN_QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 5
+EMB_DUP_T = 0.9
+
+# ---------------------------------------------------------------- SQL CTEs
+
+#: instance derivation (events_source.py contract)
+_INSTANCES_CTE = """
+instances AS (
+  SELECT event_type AS feature,
+         event_type || '#' || CAST(event_id AS VARCHAR) AS id,
+         ((((event_id * event_id) % 99991) * 31 + event_id * 48271 + 11) % 99991) / CAST(100 AS DOUBLE) AS x,
+         ((((event_id * event_id) % 99991) * 57 + event_id * 69621 + 17) % 99991) / CAST(100 AS DOUBLE) AS y
+  FROM events
+)
+"""
+
+#: grid bounds + cell encoding (cells.py contract: clamped floor grid)
+_CELLS_CTE = f"""
+bounds AS (
+  SELECT min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy,
+         GREATEST(CAST(CEIL((max(x) - min(x)) / {D!r}) AS INT), 1) AS ncx,
+         GREATEST(CAST(CEIL((max(y) - min(y)) / {D!r}) AS INT), 1) AS ncy
+  FROM instances
+),
+cells AS (
+  SELECT i.*,
+         LEAST(CAST(FLOOR((i.x - b.minx) / {D!r}) AS INT), b.ncx - 1) AS cell_x,
+         LEAST(CAST(FLOOR((i.y - b.miny) / {D!r}) AS INT), b.ncy - 1) AS cell_y
+  FROM instances i CROSS JOIN bounds b
+)
+"""
+
+#: unordered cross-feature neighbor pairs, inclusive distance (pairs.py)
+_PAIRS_CTE = f"""
+pairs AS (
+  SELECT a.feature AS a_feature, a.id AS a_id, a.x AS a_x, a.y AS a_y,
+         b.feature AS b_feature, b.id AS b_id, b.x AS b_x, b.y AS b_y,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM instances a JOIN instances b
+    ON a.id < b.id
+   AND a.feature <> b.feature
+   AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {D!r}
+)
+"""
+
+#: canonical feature rank (count asc, name asc) + dispersion delta
+_STATS_CTE = """
+fcounts AS (
+  SELECT feature, COUNT(*) AS cnt FROM instances GROUP BY feature
+),
+franks AS (
+  SELECT feature, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt ASC, feature ASC) AS rnk
+  FROM fcounts
+),
+delta_v AS (
+  SELECT 2.0 * SUM(CAST(hi.cnt AS DOUBLE) / lo.cnt)
+         / ((SELECT COUNT(*) FROM franks) * ((SELECT COUNT(*) FROM franks) - 1))
+         AS delta
+  FROM franks lo JOIN franks hi ON lo.rnk < hi.rnk
+)
+"""
+
+#: canonically-oriented star edges (stars.py)
+_EDGES_CTE = """
+edges AS (
+  SELECT p.a_feature AS center_feature, p.a_id AS center_id,
+         p.b_feature AS nbr_feature, p.b_id AS nbr_id
+  FROM pairs p
+  JOIN franks ra ON ra.feature = p.a_feature
+  JOIN franks rb ON rb.feature = p.b_feature
+  WHERE ra.rnk < rb.rnk
+  UNION ALL
+  SELECT p.b_feature, p.b_id, p.a_feature, p.a_id
+  FROM pairs p
+  JOIN franks ra ON ra.feature = p.a_feature
+  JOIN franks rb ON rb.feature = p.b_feature
+  WHERE rb.rnk < ra.rnk
+)
+"""
+
+#: shared text normalization/tokens
+_DOCTOK_CTE = r"""
+doctok AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+#: distinct word-bigram shingles
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 0, 1)),
+           i -> array_to_string(toks[i:i+1], ' ')
+         )) AS sh
+  FROM doctok
+)
+"""
+
+#: quantized embeddings (similarity.py contract)
+_QEMB_CTE = """
+qemb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS DOUBLE)) AS q
+  FROM embeddings
+)
+"""
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _exact_jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH {_DOCTOK_CTE}, {_SHINGLES_CTE}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold!r}
+"""
+
+
+# ---------------------------------------------------------------- queries
+def _q_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return instances_from_events(spark, sf_dir)
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return with_cell(inst, grid).select("id", "feature", "cell_x", "cell_y")
+
+
+def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return (
+        with_cell(inst, grid)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    return neighbor_pairs(inst, D).select("a_id", "b_id", "dist")
+
+
+def _q_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    return neighbor_pairs(inst, D).agg(F.count("*").alias("n_pairs"))
+
+
+def _q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    inst = instances_from_events(spark, sf_dir)
+    w = Window.orderBy(F.col("cnt").asc(), F.col("feature").asc())
+    return (
+        inst.groupBy("feature")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+
+
+def _q_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    inst = instances_from_events(spark, sf_dir)
+    w = Window.orderBy(F.col("cnt").asc(), F.col("feature").asc())
+    ranks = (
+        inst.groupBy("feature")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    lo = ranks.select(F.col("cnt").alias("lo_cnt"), F.col("rnk").alias("lo_rnk"))
+    hi = ranks.select(F.col("cnt").alias("hi_cnt"), F.col("rnk").alias("hi_rnk"))
+    m = ranks.count()
+    # ratios summed as doubles: round to 9 dp so summation order (which
+    # differs between engines) cannot leak into the value hash
+    return (
+        lo.join(hi, F.col("lo_rnk") < F.col("hi_rnk"))
+        .agg(
+            F.round(
+                F.lit(2.0) * F.sum(F.col("hi_cnt").cast("double") / F.col("lo_cnt"))
+                / F.lit(float(m * (m - 1))),
+                9,
+            ).alias("delta")
+        )
+    )
+
+
+def _q_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    counts = {r["feature"]: r["count"] for r in inst.groupBy("feature").count().collect()}
+    return star_edges(neighbor_pairs(inst, D), counts).groupBy(
+        "center_feature", "nbr_feature"
+    ).agg(F.count("*").alias("n_edges"))
+
+
+def _q_prevalent_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    res = eng.ColocationMiner(
+        spark, eng.ColocationConfig(D, MIN_PREV, max_pattern_size=2)
+    ).mine(inst)
+    rows = [
+        (p[0], p[1], round(res.wpi[p], 9)) for p in res.patterns
+    ]
+    return spark.createDataFrame(rows or [], "f1 string, f2 string, wpi double")
+
+
+def _q_mine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = instances_from_events(spark, sf_dir)
+    res = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV)).mine(inst)
+    rows = [
+        (",".join(p), len(p), round(res.wpi[p], 9))
+        for p in sorted(res.patterns, key=lambda p: (len(p), p))
+    ]
+    return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
+
+
+def _q_images_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.image_table import (
+        derive_instances,
+        synthesize_image_table,
+    )
+
+    inst = instances_from_events(spark, sf_dir).filter(
+        F.expr("CAST(split(id, '#')[1] AS BIGINT) % 7 = 0")
+    )
+    return derive_instances(synthesize_image_table(inst), verify=True)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_duplicates(docs)
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_duplicates(docs, threshold=JACCARD_T, n=2)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_duplicates(docs, threshold=MINHASH_T, n=2)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_duplicates(docs, hamming_max=3)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).cast("long").alias("n_tokens"),
+        F.length(T.norm_text(c)).cast("long").alias("n_chars_norm"),
+        T.punct_count(c).cast("long").alias("n_punct"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk(emb, ANN_QUERIES, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "dot"
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.lsh_topk(emb, ANN_QUERIES, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "dot"
+    )
+
+
+def _q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_duplicates(emb, threshold=EMB_DUP_T)
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # money as integer cents: double summation order is engine-dependent
+    return ev.groupBy(
+        F.unix_timestamp(F.window("ts", "1 hour").start).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "instances_derive": _q_instances,
+        "tile_assign": _q_tile_assign,
+        "tile_counts": _q_tile_counts,
+        "neighbor_pairs": _q_pairs,
+        "pair_count": _q_pair_count,
+        "feature_stats": _q_feature_stats,
+        "dispersion_delta": _q_delta,
+        "star_edges": _q_star_edges,
+        "prevalent_k2": _q_prevalent_k2,
+        "colocation_mine_full": _q_mine_full,
+        "images_derive": _q_images_derive,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_dupes": _q_emb_dupes,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full co-location mining over instances derived from the
+    sf0.001 events table (driver smoke check)."""
+    return _q_mine_full(spark, "/root/testdata/sf0.001")
 
 
+# ------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {
+        lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in T.STOPWORDS.items()
+    }
+    qual = r"""
+WITH doctok AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS nt,
+         CAST(length(norm) AS DOUBLE) AS ln,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS pc
+  FROM doctok
+)
+SELECT doc_id,
+       CASE WHEN nt > 0 THEN
+         0.5 * LEAST(1.0, nt / 100.0)
+         + 0.3 * (1.0 - LEAST(1.0, 5.0 * pc / GREATEST(ln, 1.0)))
+         + 0.2 * LEAST(1.0, (ln / GREATEST(nt, 1.0)) / 8.0)
+       ELSE 0.0 END AS quality
+FROM stats
+"""
+    langid = f"""
+WITH {_DOCTOK_CTE}, scores AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ({stop['en']}))) AS s_en,
+    len(list_filter(toks, t -> t IN ({stop['de']}))) AS s_de,
+    len(list_filter(toks, t -> t IN ({stop['es']}))) AS s_es,
+    len(list_filter(toks, t -> t IN ({stop['fr']}))) AS s_fr,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+  FROM doctok
+)
+SELECT doc_id,
+  CASE
+    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > s_en THEN 'de'
+    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh AND s_es > s_en AND s_es > s_de THEN 'es'
+    WHEN s_fr > 0 AND s_fr >= s_zh AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+    WHEN s_zh > 0 AND s_zh > s_en AND s_zh > s_de AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+    ELSE 'und'
+  END AS lang_pred
+FROM scores
+"""
+    return {
+        "instances_derive": f"WITH {_INSTANCES_CTE} SELECT * FROM instances",
+        "tile_assign": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE}
+SELECT id, feature, cell_x, cell_y FROM cells
+""",
+        "tile_counts": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE}
+SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
+""",
+        "neighbor_pairs": f"""
+WITH {_INSTANCES_CTE}, {_PAIRS_CTE}
+SELECT a_id, b_id, dist FROM pairs
+""",
+        "pair_count": f"""
+WITH {_INSTANCES_CTE}, {_PAIRS_CTE}
+SELECT COUNT(*) AS n_pairs FROM pairs
+""",
+        "feature_stats": f"""
+WITH {_INSTANCES_CTE}, {_STATS_CTE}
+SELECT feature, cnt, rnk FROM franks
+""",
+        "dispersion_delta": f"""
+WITH {_INSTANCES_CTE}, {_STATS_CTE}
+SELECT ROUND(delta, 9) AS delta FROM delta_v
+""",
+        "star_edges": f"""
+WITH {_INSTANCES_CTE}, {_PAIRS_CTE}, {_STATS_CTE}, {_EDGES_CTE}
+SELECT center_feature, nbr_feature, COUNT(*) AS n_edges
+FROM edges GROUP BY center_feature, nbr_feature
+""",
+        "prevalent_k2": f"""
+WITH {_INSTANCES_CTE}, {_PAIRS_CTE}, {_STATS_CTE}, {_EDGES_CTE},
+part AS (
+  SELECT center_feature AS f1, nbr_feature AS f2,
+         COUNT(DISTINCT center_id) AS n1, COUNT(DISTINCT nbr_id) AS n2
+  FROM edges GROUP BY center_feature, nbr_feature
+),
+wpi AS (
+  SELECT p.f1, p.f2,
+         LEAST(
+           (CAST(p.n1 AS DOUBLE) / c1.cnt)
+             / GREATEST(EXP(-((CAST(c1.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c1.cnt AS DOUBLE)/c1.cnt - 1))
+                             / (2 * d.delta * d.delta)), 1e-9),
+           (CAST(p.n2 AS DOUBLE) / c2.cnt)
+             / GREATEST(EXP(-((CAST(c2.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c2.cnt AS DOUBLE)/c1.cnt - 1))
+                             / (2 * d.delta * d.delta)), 1e-9)
+         ) AS wpi
+  FROM part p
+  JOIN fcounts c1 ON c1.feature = p.f1
+  JOIN fcounts c2 ON c2.feature = p.f2
+  CROSS JOIN delta_v d
+)
+SELECT f1, f2, ROUND(wpi, 9) AS wpi FROM wpi WHERE wpi >= {MIN_PREV!r}
+""",
+        "images_derive": f"""
+WITH {_INSTANCES_CTE}
+SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 7 = 0
+""",
+        "dedup_exact": r"""
+WITH h AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+         COUNT(*) OVER (PARTITION BY h) AS group_size
+  FROM h
+)
+SELECT doc_id, canonical_id, group_size FROM g WHERE group_size > 1
+""",
+        "dedup_ngram_jaccard": _exact_jaccard_sql(JACCARD_T),
+        "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
+        "text_stats": r"""
+WITH doctok AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(norm) AS n_chars_norm,
+       length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM doctok
+""",
+        "text_langid": langid,
+        "text_quality": qual,
+        "ann_cosine_topk": f"""
+WITH {_QEMB_CTE},
+q AS (SELECT vec_id AS query_id, q AS qv FROM qemb WHERE vec_id IN ({", ".join(map(str, ANN_QUERIES))})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.q) AS BIGINT) AS dot
+  FROM q CROSS JOIN qemb c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
+""",
+        "embedding_dupes": f"""
+WITH {_QEMB_CTE}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_dot_product(a.q, b.q)
+       / (SQRT(list_dot_product(a.q, a.q)) * SQRT(list_dot_product(b.q, b.q))) AS cosine
+FROM qemb a JOIN qemb b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q)
+      / (SQRT(list_dot_product(a.q, a.q)) * SQRT(list_dot_product(b.q, b.q))) >= {EMB_DUP_T!r}
+""",
+        "events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,121 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Every function here is built from deterministic integer/string primitives
+(token counts, md5, fixed-priority argmax) so an ANSI-SQL oracle (DuckDB)
+reproduces results bit-for-bit — the driver's correctness harness compares
+value hashes, so even float outputs are derived from integers with an
+identical operation order on both sides.
+
+Ops: normalization, tokenization, token/char stats, language ID (stopword
+heuristic), quality scoring, document fingerprinting, word n-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic; deliberately small so the SQL oracle stays readable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+#: fixed priority for argmax ties (first maximal wins) — part of the spec.
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+CJK_CLASS = "[一-鿿]"
+
+
+def norm_text(col: Column) -> Column:
+    """lower + trim + whitespace collapse (the normalization every other op
+    builds on; its SQL twin is in __spark_entry__)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text; [] for empty docs."""
+    return F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (shingles for dedup).
+
+    Guard: Spark's ``sequence(1, 0)`` *descends* ([1, 0]) instead of being
+    empty, so docs shorter than n get an explicit empty array.
+    """
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
+
+
+def cjk_chars(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, f"[^{CJK_CLASS[1:-1]}]", ""))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: stopword-hit counts per language + CJK char
+    count for zh; first maximal score in LANG_PRIORITY order wins."""
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    scores["zh"] = cjk_chars(col)
+    # "first maximal in priority order": lang wins iff score > 0, >= every
+    # later language and > every earlier one (earlier would have won a tie).
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        ge_all_later = F.lit(True)
+        for later in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]:
+            ge_all_later = ge_all_later & (scores[lang] >= scores[later])
+        gt_all_earlier = F.lit(True)
+        for earlier in LANG_PRIORITY[: LANG_PRIORITY.index(lang)]:
+            gt_all_earlier = gt_all_earlier & (scores[lang] > scores[earlier])
+        expr = F.when(
+            (scores[lang] > 0) & ge_all_later & gt_all_earlier, F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[\.,;:!\?]", ""))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic from integer stats:
+
+        0.5 * min(1, tokens/100) + 0.3 * (1 - min(1, 5*punct/len))
+        + 0.2 * min(1, (len/tokens)/8)
+
+    Empty docs score 0.  All inputs are integers; both engines perform the
+    same double arithmetic in the same order.
+    """
+    nt = token_count(col).cast("double")
+    ln = F.length(norm_text(col)).cast("double")
+    pc = punct_count(col).cast("double")
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), nt / F.lit(100.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(5.0) * pc / F.greatest(ln, F.lit(1.0))))
+        + F.lit(0.2) * F.least(F.lit(1.0), (ln / F.greatest(nt, F.lit(1.0))) / F.lit(8.0))
+    )
+    return F.when(nt > 0, score).otherwise(F.lit(0.0))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized token stream (an
+    order-sensitive rolling digest both engines share natively)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))

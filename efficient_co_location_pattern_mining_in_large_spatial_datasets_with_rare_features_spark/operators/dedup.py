@@ -1,0 +1,251 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families, all returning deterministic DataFrames:
+
+- exact: md5 of normalized text, hash-groupBy — one shuffle, trivially
+  scalable (the 100 TB baseline dedup pass).
+- n-gram Jaccard: word-shingle similarity with inverted-index blocking —
+  candidate pairs share >= 1 shingle, exact Jaccard verified, so output is
+  exactly "all pairs with J >= threshold" (blocking is a pure physical
+  optimization: a pair with J > 0 always shares a shingle).
+- MinHash + LSH: 128 affine min-hashes over xxhash64 token-shingles, banded
+  into buckets; bucket-mates are verified with *exact* Jaccard, so the
+  output contract is the same as the n-gram family (LSH only bounds the
+  candidate set; at threshold 0.8 with 32x4 banding the miss probability is
+  < 1e-7) while scaling to corpora where an inverted index explodes.
+- SimHash: 64-bit sign-of-weighted-sum sketch; near-dup = Hamming
+  distance <= k, candidates blocked on 16-bit chunks (pigeonhole: any pair
+  with <= 3 flipped bits shares an identical chunk).
+
+Embedding near-dup (cosine) lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_SEEDS = [(2 * i + 1, 7 * i + 3) for i in range(128)]  # odd a, any b
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs whose normalized text occurs more than once.
+
+    Output: (doc_id, canonical_id = min doc_id of the group, group_size).
+    """
+    from pyspark.sql.window import Window
+
+    h = docs.select(
+        "doc_id", F.md5(T.norm_text(F.col(text_col))).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        h.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, distinct word-n-gram array) — [] for short docs."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def _verified_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Join candidate (a,b) id pairs back to shingle sets and keep pairs
+    with exact Jaccard >= threshold."""
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = (F.size("a_sh") + F.size("b_sh") - F.size(F.array_intersect("a_sh", "b_sh"))).cast(
+        "double"
+    )
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_duplicates(
+    docs: DataFrame, threshold: float = 0.8, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """All doc pairs (a_id < b_id) with word-n-gram Jaccard >= threshold.
+
+    Physical plan: inverted index on shingles (explode -> self-join on
+    shingle -> distinct candidate pair) then exact verification.  Any pair
+    with J >= threshold > 0 shares a shingle, so blocking loses nothing.
+    """
+    sh = _shingles(docs, text_col, n).persist()
+    inv = sh.select("doc_id", F.explode("sh").alias("g"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), on="g")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    out = _verified_jaccard_pairs(cand, sh, threshold)
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 2, text_col: str = "text", num_hashes: int = 128
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[num_hashes]) MinHash signatures.
+
+    h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p, folded with array
+    ``aggregate`` over the distinct shingle set — all JVM-side expressions.
+    Empty docs get an empty signature.
+    """
+    seeds = MINHASH_SEEDS[:num_hashes]
+    sh = _shingles(docs, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.abs(F.xxhash64(s)) % MINHASH_PRIME).alias(
+            "hs"
+        ),
+    )
+    sig = F.transform(
+        F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in seeds]),
+        lambda ab: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(ab["a"] * h + ab["b"], F.lit(MINHASH_PRIME)),
+            )
+        ),
+    )
+    return hashed.select(
+        "doc_id",
+        F.when(F.size("hs") > 0, sig).otherwise(F.array().cast("array<bigint>")).alias("sig"),
+    )
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 2,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Output contract (same as ngram_jaccard_duplicates): pairs with exact
+    word-n-gram Jaccard >= threshold; LSH is the candidate generator.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, text_col, num_hashes)
+    banded = sigs.filter(F.size("sig") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = _shingles(docs, text_col, n)
+    return _verified_jaccard_pairs(cand, sh, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit sign-of-sum sketch over token
+    xxhash64 values — bit j is 1 iff more token hashes have bit j set than
+    not."""
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    per_bit = toks.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    agg = per_bit.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+    )
+    sig = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(0)
+                * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("bigint")
+                for j in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_duplicates(
+    docs: DataFrame, hamming_max: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Pairs with simhash Hamming distance <= hamming_max.
+
+    Blocking: split the 64-bit sketch into hamming_max+1 chunks; by
+    pigeonhole two sketches within the distance share at least one exact
+    chunk, so the equi-join on (chunk_index, chunk_value) is lossless.
+    """
+    nchunks = hamming_max + 1
+    width = 64 // nchunks
+    sigs = simhash(docs, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(nchunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), on=["ci", "cv"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+            F.col("l.simhash").alias("a_sig"),
+            F.col("r.simhash").alias("b_sig"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return cand.filter(ham <= hamming_max).select(
+        "a_id", "b_id", ham.alias("hamming")
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Determinism design: embeddings are quantized to integers
+(``round(v * 10000)`` as bigint) before any arithmetic, so dot products are
+exact integer sums — bitwise identical in Spark and any ANSI-SQL oracle,
+immune to float summation order.  Cosine variants divide two exactly-agreed
+numbers, so they also agree bitwise.
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline; one
+  broadcast of the (small) query set, full scan of the corpus, per-query
+  window rank.  Linear in corpus size, embarrassingly parallel.
+- ``lsh_topk``: random-hyperplane LSH bucketing (deterministic integer
+  planes) — the scale path: only same-bucket candidates are scored.
+- ``embedding_duplicates``: near-duplicate pairs by cosine >= threshold,
+  LSH-blocked + exactly verified (same contract pattern as dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 10_000
+
+
+def quantize(col: F.Column) -> F.Column:
+    """array<float> -> array<bigint>, v -> round(double(v) * 10000)."""
+    return F.transform(
+        col, lambda v: F.round(v.cast("double") * QUANT).cast("bigint")
+    )
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a).cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (by quantized cosine) for each query id.
+
+    Output: (query_id, neighbor_id, rank, dot bigint, cosine double);
+    self-matches excluded; ties broken by neighbor_id ascending.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("dot"),
+            (
+                _dot(F.col("qv"), F.col("cv")).cast("double")
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot", "cosine")
+    )
+
+
+#: deterministic integer hyperplanes: component d of plane p is
+#: ((p*67 + d*31) % 19) - 9  (zero-mean pseudo-random in [-9, 9]).
+def _plane(p: int, dim: int) -> list[int]:
+    return [((p * 67 + d * 31) % 19) - 9 for d in range(dim)]
+
+
+def lsh_bucket(vec_col: F.Column, dim: int, nplanes: int = 12) -> F.Column:
+    """Random-hyperplane signature: bit p = (v . plane_p) >= 0."""
+    qv = quantize(vec_col)
+    bits = []
+    for p in range(nplanes):
+        plane = F.array(*[F.lit(c) for c in _plane(p, dim)])
+        s = F.aggregate(
+            F.zip_with(qv, plane, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s >= 0, F.lit(1 << p)).otherwise(0).cast("bigint"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    nplanes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    Recall < 1 by design; the scale path when a full scan is too expensive.
+    Same output shape as cosine_topk.
+    """
+    with_b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, nplanes))
+    q = with_b.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"), "bucket"
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
+def embedding_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by quantized cosine >= threshold (a_id < b_id).
+
+    ``blocked=True`` restricts candidates to shared LSH buckets (scale
+    path, approximate); default is the exact all-pairs contract.
+    """
+    sel = [F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")]
+    if blocked:
+        base = embeddings.withColumn(
+            "bucket", lsh_bucket(F.col(vec_col), dim)
+        ).select(*sel, "bucket")
+    else:
+        base = embeddings.select(*sel)
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("v").alias("av"),
+        *([F.col("bucket")] if blocked else []),
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("v").alias("bv"),
+        *([F.col("bucket")] if blocked else []),
+    )
+    joined = a.join(b, on="bucket") if blocked else a.crossJoin(b)
+    cos = _dot(F.col("av"), F.col("bv")).cast("double") / (
+        _norm(F.col("av")) * _norm(F.col("bv"))
+    )
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

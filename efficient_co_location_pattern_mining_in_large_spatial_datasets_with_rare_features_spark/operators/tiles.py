@@ -1,0 +1,96 @@
+"""Tile materialization: per-cell densities as vector polygons or raster rows.
+
+The grid cell id (cells.py) doubles as the tile id.  Two interchangeable
+materializations of the same per-cell aggregate:
+
+- *vector*: one row per non-empty cell — cell id, bounding-box polygon
+  (WKT), instance count (optionally per feature).  Sparse-friendly.
+- *raster*: one row per grid row ``cell_y`` with a dense ``array<bigint>``
+  of counts across ``cell_x`` (zero-filled) — a heatmap scanline.  The
+  row-per-scanline layout keeps raster rows bounded (ncells_x elements)
+  no matter how many instances exist, so it scales with grid size only.
+
+``raster_to_vector`` / ``vector_to_raster`` convert between them losslessly
+(round-trip tested), satisfying the north rule's raster<->vector heatmap
+output requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cells import GridSpec, with_cell
+
+
+def tile_assign(instances: DataFrame, grid: GridSpec) -> DataFrame:
+    """Instance -> tile assignment (engine's per-instance tile id)."""
+    return with_cell(instances, grid)
+
+
+def tile_counts(instances: DataFrame, grid: GridSpec, by_feature: bool = False) -> DataFrame:
+    keys = ["cell_x", "cell_y"] + (["feature"] if by_feature else [])
+    return (
+        with_cell(instances, grid)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def vector_tiles(counts: DataFrame, grid: GridSpec) -> DataFrame:
+    """Vector heatmap: cell polygon (WKT) + count per non-empty cell."""
+    x0 = F.lit(grid.min_x) + F.col("cell_x") * F.lit(grid.cell_size)
+    y0 = F.lit(grid.min_y) + F.col("cell_y") * F.lit(grid.cell_size)
+    x1 = x0 + F.lit(grid.cell_size)
+    y1 = y0 + F.lit(grid.cell_size)
+
+    def fmt(c: F.Column) -> F.Column:
+        return F.format_number(c, 6)
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        fmt(x0), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y0), F.lit("))"),
+    )
+    return counts.select("cell_x", "cell_y", wkt.alias("wkt"), "n")
+
+
+def raster_tiles(counts: DataFrame, grid: GridSpec) -> DataFrame:
+    """Raster heatmap: one scanline per cell_y, dense zero-filled counts.
+
+    Built without a driver-side loop: aggregate (cell_x -> n) maps per
+    scanline, then project a dense array with ``transform`` over a static
+    ``sequence`` — all JVM-side, whole-stage-codegen friendly.
+    """
+    ncx = grid.ncells_x
+    return (
+        counts.groupBy("cell_y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cell_x"), F.col("n")))
+            ).alias("m")
+        )
+        .select(
+            "cell_y",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ncx - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+            ).alias("counts"),
+        )
+    )
+
+
+def raster_to_vector(raster: DataFrame, grid: GridSpec) -> DataFrame:
+    counts = (
+        raster.select("cell_y", F.posexplode("counts").alias("cell_x", "n"))
+        .filter(F.col("n") > 0)
+        .select("cell_x", "cell_y", "n")
+    )
+    return vector_tiles(counts, grid)
+
+
+def vector_to_raster(vector: DataFrame, grid: GridSpec) -> DataFrame:
+    return raster_tiles(vector.select("cell_x", "cell_y", "n"), grid)

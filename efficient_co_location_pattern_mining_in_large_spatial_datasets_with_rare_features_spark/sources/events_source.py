@@ -25,10 +25,21 @@ from pyspark.sql import functions as F
 #: queries. Domain is 1000x1000; at sf0.01 (10k events) this yields a few
 #: neighbors per instance.
 DEFAULT_D = 12.0
-DEFAULT_MIN_PREV = 0.3
+DEFAULT_MIN_PREV = 0.1
 
-X_SQL = "((event_id * 48271 + 11) % 100000) / 100.0"
-Y_SQL = "((event_id * 69621 + 17) % 100000) / 100.0"
+# Quadratic hash mod a prime: a *linear* LCG puts points on a coarse 2D
+# lattice whose minimum pair distance exceeds any useful d (zero neighbor
+# pairs); the i^2 term breaks the lattice.  All intermediates stay < 2^63
+# for event_id <= 10^9.  CAST: Spark parses a bare `100.0` literal as
+# DECIMAL(4,1); the explicit cast pins both engines to exact double division.
+X_SQL = (
+    "((((event_id * event_id) % 99991) * 31 + event_id * 48271 + 11) % 99991)"
+    " / CAST(100 AS DOUBLE)"
+)
+Y_SQL = (
+    "((((event_id * event_id) % 99991) * 57 + event_id * 69621 + 17) % 99991)"
+    " / CAST(100 AS DOUBLE)"
+)
 
 
 def instances_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Text functions + dedup operators: hand-checkable unit cases (the
+Spark-vs-DuckDB equivalence is covered by test_entry_contract)."""
+
+from pyspark.sql import functions as F
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions import (
+    text as T,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators import (
+    dedup,
+    similarity,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_and_counts(spark):
+    df = _docs(spark, [(1, "  Hello   world  "), (2, ""), (3, "a"), (4, "   ")])
+    out = {r.doc_id: (r.n, r.toks) for r in df.select(
+        "doc_id", T.token_count(F.col("text")).alias("n"), T.tokens(F.col("text")).alias("toks")
+    ).collect()}
+    assert out[1] == (2, ["hello", "world"])
+    assert out[2] == (0, [])
+    assert out[3] == (1, ["a"])
+    assert out[4] == (0, [])
+
+
+def test_word_ngrams(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a"), (3, "")])
+    out = {r.doc_id: r.g for r in df.select("doc_id", T.word_ngrams(F.col("text"), 2).alias("g")).collect()}
+    assert out[1] == ["a b", "b c", "c d"]
+    assert out[2] == []
+    assert out[3] == []
+
+
+def test_lang_id_heuristic(spark):
+    df = _docs(spark, [
+        (1, "the cat and the dog in a house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "el perro y la casa de que es"),
+        (4, "le chien et la maison dans les arbres est"),
+        (5, "这是 中文 文本"),
+        (6, "xyzzy plugh"),
+    ])
+    out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "es"
+    assert out[4] == "fr" and out[5] == "zh" and out[6] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "hello worlds")])
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, [
+        (1, "Same   Text"), (2, "same text"), (3, "unique"), (4, "SAME TEXT "),
+    ])
+    out = {(r.doc_id, r.canonical_id, r.group_size) for r in dedup.exact_duplicates(df).collect()}
+    assert out == {(1, 1, 3), (2, 1, 3), (4, 1, 3)}
+
+
+def test_ngram_jaccard_exact_contract(spark):
+    df = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words here entirely"),
+    ])
+    out = dedup.ngram_jaccard_duplicates(df, threshold=0.5, n=2).collect()
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in out}
+    assert set(pairs) == {(1, 2)}
+    # shingles: 8 each, 7 shared (all but "lazy dog"/"lazy cat") -> J = 7/9
+    assert abs(pairs[(1, 2)] - 7.0 / 9.0) < 1e-12
+
+
+def test_minhash_lsh_finds_near_dupes(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    df = _docs(spark, [
+        (1, base), (2, base + "lambda mu"), (3, "totally unrelated content " * 5),
+    ])
+    out = {(r.a_id, r.b_id) for r in dedup.minhash_lsh_duplicates(df, threshold=0.5).collect()}
+    assert (1, 2) in out
+    assert all(3 not in p for p in out)
+
+
+def test_minhash_equals_exact_on_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {(r.a_id, r.b_id) for r in dedup.minhash_lsh_duplicates(docs, threshold=0.8).collect()}
+    exact = {(r.a_id, r.b_id) for r in dedup.ngram_jaccard_duplicates(docs, threshold=0.8).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "q1 q2 q3 q4 q5 q6")])
+    out = {(r.a_id, r.b_id): r.hamming for r in dedup.simhash_duplicates(df, hamming_max=3).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, [0], k=3)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (3, 2), (2, 3)]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, [0, 1], k=5).collect()
+    approx = similarity.lsh_topk(emb, [0, 1], k=5, dim=64).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id, r.dot) for r in exact}
+    # every approx hit must carry the exact dot score computed brute-force
+    dots = {(r.query_id, r.neighbor_id): r.dot for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in dots:
+            assert dots[(r.query_id, r.neighbor_id)] == r.dot
+
+
+def test_embedding_duplicates_blocked_is_subset(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8).collect()}
+    blocked = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8, blocked=True).collect()}
+    assert blocked <= exact
