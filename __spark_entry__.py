@@ -351,6 +351,30 @@ def _q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_duplicates(emb, threshold=EMB_DUP_T)
 
 
+def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        point_in_polygon,
+        synth_polygons,
+    )
+
+    pts = instances_from_events(spark, sf_dir).filter(
+        F.expr("CAST(split(id, '#')[1] AS BIGINT) % 13 = 0")
+    )
+    return point_in_polygon(pts, synth_polygons(spark))
+
+
+def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        knn,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    queries = inst.filter(
+        F.expr("CAST(split(id, '#')[1] AS BIGINT) < 8")
+    ).select(F.col("id").alias("qid"), "x", "y")
+    return knn(inst, queries, k=5, exclude_self=True)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # money as integer cents: double summation order is engine-dependent
@@ -386,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_dupes": _q_emb_dupes,
+        "point_in_polygon": _q_point_in_polygon,
+        "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
     }
 
@@ -557,6 +583,50 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM qemb a JOIN qemb b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.q, b.q)
       / (SQRT(list_dot_product(a.q, a.q)) * SQRT(list_dot_product(b.q, b.q))) >= {EMB_DUP_T!r}
+""",
+        "point_in_polygon": f"""
+WITH {_INSTANCES_CTE},
+pts AS (
+  SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 13 = 0
+),
+polys AS (
+  SELECT CAST(p AS INT) AS poly_id,
+         CAST((p * 7919 + 13) % 900 + 50 AS DOUBLE) AS cx,
+         CAST((p * 104729 + 29) % 900 + 50 AS DOUBLE) AS cy,
+         CAST(30 + (p % 5) * 10 AS DOUBLE) AS r
+  FROM generate_series(0, 24) t(p)
+),
+polyv AS (
+  SELECT poly_id, [cx - r, cx, cx + r, cx] AS xs, [cy, cy - r, cy, cy + r] AS ys
+  FROM polys
+)
+SELECT pts.id AS id, polyv.poly_id AS poly_id
+FROM pts CROSS JOIN polyv
+WHERE len(list_filter(range(0, 4), i ->
+        ((ys[i + 1] > pts.y) <> (ys[CASE WHEN i = 0 THEN 4 ELSE i END] > pts.y))
+        AND pts.x < (xs[CASE WHEN i = 0 THEN 4 ELSE i END] - xs[i + 1])
+                    * (pts.y - ys[i + 1])
+                    / (ys[CASE WHEN i = 0 THEN 4 ELSE i END] - ys[i + 1])
+                    + xs[i + 1]
+      )) % 2 = 1
+""",
+        "spatial_knn": f"""
+WITH {_INSTANCES_CTE},
+q AS (
+  SELECT id AS qid, x AS qx, y AS qy FROM instances
+  WHERE CAST(string_split(id, '#')[2] AS BIGINT) < 8
+),
+scored AS (
+  SELECT q.qid, i.id, i.feature,
+         SQRT((i.x - q.qx) * (i.x - q.qx) + (i.y - q.qy) * (i.y - q.qy)) AS dist
+  FROM q CROSS JOIN instances i
+  WHERE q.qid <> i.id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid, id, feature, dist, rank FROM ranked WHERE rank <= 5
 """,
         "events_hourly": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

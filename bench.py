@@ -1,0 +1,136 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the end-to-end wall time of the flagship pipeline (derive
+instances -> full co-location mining -> tile assignment counts); per-query
+seconds are under "queries"; mining+tiling throughput (rows/sec, the
+BASELINE.md north metric) is under "throughput_rows_per_sec".
+
+The bench neighbor distance is 6.0 (not the sf0.01 correctness default 12.0):
+the synthetic plane is fixed 1000x1000, so instance density grows linearly
+with sf; d=6 at sf0.1 keeps the neighbor degree in the regime real mining
+runs at — with d=12 the clique *count* (not the engine) explodes
+combinatorially.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_D = 6.0
+BENCH_MIN_PREV = 0.1
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators import (
+        dedup,
+        similarity,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        compute_bounds,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        tile_counts,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+        instances_from_events,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = eng.get_spark(
+        f"local[{cpus}]",
+        app_name="colocation-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(2 * int(cpus)))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name} {timings[name]}s", file=sys.stderr, flush=True)
+        return out
+
+    inst = instances_from_events(spark, sf_dir).persist()
+    n_instances = inst.count()
+
+    # flagship: mining end-to-end + tile assignment
+    res = timed(
+        "colocation_mine_full",
+        lambda: eng.ColocationMiner(
+            spark, eng.ColocationConfig(BENCH_D, BENCH_MIN_PREV)
+        ).mine(inst),
+    )
+    grid = compute_bounds(inst, BENCH_D)
+    timed("tile_counts", lambda: tile_counts(inst, grid).count())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+
+    timed("images_derive", lambda: entrymod._q_images_derive(spark, sf_dir).count())
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_duplicates(docs, threshold=0.8).count(),
+    )
+    timed(
+        "dedup_ngram_jaccard",
+        lambda: dedup.ngram_jaccard_duplicates(docs, threshold=0.8).count(),
+    )
+    timed("dedup_simhash", lambda: dedup.simhash_duplicates(docs).count())
+    timed(
+        "ann_cosine_topk",
+        lambda: similarity.cosine_topk(emb, list(range(8)), k=5).count(),
+    )
+    timed(
+        "embedding_dupes_lsh",
+        lambda: similarity.embedding_duplicates(
+            emb, threshold=0.9, blocked=True
+        ).count(),
+    )
+    timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
+    timed("events_hourly", lambda: entrymod._q_events_hourly(spark, sf_dir).count())
+
+    flagship = timings["colocation_mine_full"] + timings["tile_counts"]
+    print(
+        json.dumps(
+            {
+                "metric": "colocation mining + tile assignment end-to-end wall",
+                "value": round(flagship, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "n_instances": n_instances,
+                "n_docs": n_docs,
+                "n_embeddings": n_emb,
+                "pairs": res.pair_count,
+                "patterns": len(res.patterns),
+                "throughput_rows_per_sec": round(n_instances / flagship, 1),
+                "d": BENCH_D,
+                "min_prev": BENCH_MIN_PREV,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

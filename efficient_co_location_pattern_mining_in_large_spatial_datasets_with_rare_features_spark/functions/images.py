@@ -101,13 +101,18 @@ def dhash64(pixels: np.ndarray) -> int:
     bit = left > right; returned as signed int64 (parquet/Spark BIGINT)."""
     luma = pixels.astype(np.float64).mean(axis=2)
     h, w = luma.shape
-    ys = np.linspace(0, h, 9, dtype=int)
-    xs = np.linspace(0, w, 10, dtype=int)
-    grid = np.empty((8, 9))
-    for i in range(8):
-        for j in range(9):
-            block = luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
-            grid[i, j] = block.mean()
+    ys = np.unique(np.linspace(0, h, 9, dtype=int)[:8].clip(0, h - 1))
+    xs = np.unique(np.linspace(0, w, 10, dtype=int)[:9].clip(0, w - 1))
+    # block sums via reduceat (vectorized; the per-block Python loop was the
+    # hot spot of both synthesis and verification)
+    sums = np.add.reduceat(np.add.reduceat(luma, ys, axis=0), xs, axis=1)
+    rows = np.diff(np.append(ys, h))
+    cols = np.diff(np.append(xs, w))
+    grid = sums / np.outer(rows, cols)
+    if grid.shape != (8, 9):  # degenerate tiny images: pad by edge repeat
+        gg = np.zeros((8, 9))
+        gg[: grid.shape[0], : grid.shape[1]] = grid[:8, :9]
+        grid = gg
     bits = (grid[:, :-1] > grid[:, 1:]).flatten()
     val = np.uint64(0)
     for bit in bits:

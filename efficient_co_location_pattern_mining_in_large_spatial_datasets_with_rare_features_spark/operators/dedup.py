@@ -83,16 +83,38 @@ def ngram_jaccard_duplicates(
 ) -> DataFrame:
     """All doc pairs (a_id < b_id) with word-n-gram Jaccard >= threshold.
 
-    Physical plan: inverted index on shingles (explode -> self-join on
-    shingle -> distinct candidate pair) then exact verification.  Any pair
-    with J >= threshold > 0 shares a shingle, so blocking loses nothing.
+    Physical plan: *prefix-filtered* inverted index (AllPairs/PPJoin family)
+    then exact verification.  Order every doc's shingles by global document
+    frequency ascending (rarest first); two sets with J >= t must share an
+    element inside their first ``|sh| - ceil(t*|sh|) + 1`` shingles in that
+    order, so blocking on prefixes only is exact while hot shingles ("the
+    of"-style n-grams shared by half the corpus) never become join keys —
+    that skew otherwise yields O(df^2) candidates from a single shingle.
     """
+    from pyspark.sql.window import Window
+
     sh = _shingles(docs, text_col, n).persist()
-    inv = sh.select("doc_id", F.explode("sh").alias("g"))
+    inv = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    df_counts = inv.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix = (
+        inv.join(df_counts, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "sz", "g")
+    )
+    # size-compatibility filter (exact): J >= t implies t*|B| <= |A|
     cand = (
-        inv.alias("l")
-        .join(inv.alias("r"), on="g")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        prefix.alias("l")
+        .join(prefix.alias("r"), on="g")
+        .filter(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.sz") >= F.lit(threshold) * F.col("r.sz"))
+            & (F.col("r.sz") >= F.lit(threshold) * F.col("l.sz"))
+        )
         .select(
             F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
         )
@@ -107,30 +129,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[num_hashes]) MinHash signatures.
 
-    h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p, folded with array
-    ``aggregate`` over the distinct shingle set — all JVM-side expressions.
-    Empty docs get an empty signature.
+    h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p over the distinct
+    shingle set — all JVM-side expressions.  Empty docs get an empty
+    signature.
     """
+    return _minhash_from_shingles(_shingles(docs, text_col, n), num_hashes)
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     seeds = MINHASH_SEEDS[:num_hashes]
-    sh = _shingles(docs, text_col, n)
-    hashed = sh.select(
-        "doc_id",
-        F.transform(F.col("sh"), lambda s: F.abs(F.xxhash64(s)) % MINHASH_PRIME).alias(
-            "hs"
-        ),
+    # Explode + per-seed min aggregation: a nested-transform formulation
+    # inlines the whole tokenize->shingle pipeline into each of the 128
+    # lambda branches (interpreted higher-order exprs get no CSE) and is
+    # ~100x slower; this shape tokenizes once and the 128 mins are plain
+    # codegen'd aggregates.
+    exploded = sh.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", (F.abs(F.xxhash64("g")) % MINHASH_PRIME).alias("h")
     )
-    sig = F.transform(
-        F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in seeds]),
-        lambda ab: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: F.pmod(ab["a"] * h + ab["b"], F.lit(MINHASH_PRIME)),
-            )
-        ),
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(seeds)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[f"s{i}" for i in range(len(seeds))]).alias("sig")
     )
-    return hashed.select(
+    # docs with no shingles get an empty signature (excluded from banding)
+    return sh.select("doc_id").join(sigs, "doc_id", "left").select(
         "doc_id",
-        F.when(F.size("hs") > 0, sig).otherwise(F.array().cast("array<bigint>")).alias("sig"),
+        F.coalesce(F.col("sig"), F.array().cast("array<bigint>")).alias("sig"),
     )
 
 
@@ -148,7 +176,8 @@ def minhash_lsh_duplicates(
     word-n-gram Jaccard >= threshold; LSH is the candidate generator.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, n, text_col, num_hashes)
+    sh = _shingles(docs, text_col, n).persist()
+    sigs = _minhash_from_shingles(sh, num_hashes)
     banded = sigs.filter(F.size("sig") > 0).select(
         "doc_id",
         F.explode(
@@ -168,7 +197,6 @@ def minhash_lsh_duplicates(
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = _shingles(docs, text_col, n)
     return _verified_jaccard_pairs(cand, sh, threshold)
 
 

@@ -69,6 +69,14 @@ def neighbor_pairs(
     if grid is None:
         grid = compute_bounds(instances, cell_size)
 
+    # A skinny input (e.g. one parquet file -> one partition) would serialize
+    # the whole map side — explode, cell encode, shuffle write — onto a
+    # single core.  Spread it first; round-robin repartition is output-
+    # invariant.
+    parallelism = instances.sparkSession.sparkContext.defaultParallelism
+    if instances.rdd.getNumPartitions() < parallelism:
+        instances = instances.repartition(parallelism)
+
     hot_cells: DataFrame | None = None
     if salt_threshold is not None or adaptive_cell_split:
         occupancy = (

@@ -1,0 +1,111 @@
+"""General spatial query operators beyond the mining core: point-in-polygon
+and k-nearest-neighbors (the north rule's "H3/S2 index, point-in-polygon,
+kNN" trio; the cell index lives in cells.py).
+
+Both are pure DataFrame expressions (whole-stage-codegen friendly, no
+Python in the hot path) with deterministic arithmetic an ANSI-SQL oracle
+reproduces bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    blocked: bool = True,
+) -> DataFrame:
+    """(point id, poly_id) pairs where the point lies inside the polygon.
+
+    ``points``:   (id string, x double, y double)
+    ``polygons``: (poly_id, xs array<double>, ys array<double>) — closed
+    implicitly (edge n-1 -> 0), vertices in any consistent winding.
+
+    Even-odd ray casting: edge i = (v_i, v_{i-1 mod n}) crosses the
+    rightward ray from p iff the edge straddles p's y and the x of the
+    crossing exceeds p.x.  Boundary points follow the classic half-open
+    rule (deterministic, matches the SQL oracle exactly).
+
+    ``blocked=True`` prepends a bounding-box pre-filter — at scale this is
+    the join-pruning step (bbox can also be cell-binned for an equi-join;
+    the predicate itself is unchanged and exact either way).
+    """
+    n = F.size("xs")
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def crossing(i: F.Column) -> F.Column:
+        j = F.when(i == 0, n - 1).otherwise(i - 1)
+        xi, yi = F.element_at("xs", i + 1), F.element_at("ys", i + 1)
+        xj, yj = F.element_at("xs", j + 1), F.element_at("ys", j + 1)
+        straddles = (yi > F.col("y")) != (yj > F.col("y"))
+        x_cross = (xj - xi) * (F.col("y") - yi) / (yj - yi) + xi
+        return straddles & (F.col("x") < x_cross)
+
+    crossings = F.size(F.filter(idx, crossing))
+    joined = points.crossJoin(polygons)
+    if blocked:
+        joined = joined.filter(
+            (F.col("x") >= F.array_min("xs"))
+            & (F.col("x") <= F.array_max("xs"))
+            & (F.col("y") >= F.array_min("ys"))
+            & (F.col("y") <= F.array_max("ys"))
+        )
+    return joined.filter(crossings % 2 == 1).select("id", "poly_id")
+
+
+def knn(
+    instances: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    same_feature: bool | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact k nearest instances for each query point.
+
+    ``queries``: (qid, x double, y double) — a *small* query set that is
+    broadcast; the corpus is scanned once (embarrassingly parallel).  Ties
+    broken by instance id ascending.  ``same_feature`` optionally restricts
+    candidates to matching/differing feature (None = all).
+
+    For the repeated-self-join flavor of kNN (every point against every
+    point) use the grid: neighbor_pairs with a distance bound is the
+    scalable path; this operator is the low-latency query-point API.
+    """
+    q = queries.select(
+        F.col("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
+        *([F.col("feature").alias("qf")] if same_feature is not None else []),
+    )
+    joined = F.broadcast(q).crossJoin(instances)
+    if exclude_self:
+        joined = joined.filter(F.col("qid") != F.col("id"))
+    if same_feature is True:
+        joined = joined.filter(F.col("qf") == F.col("feature"))
+    elif same_feature is False:
+        joined = joined.filter(F.col("qf") != F.col("feature"))
+    dist = F.sqrt((F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        joined.select("qid", "id", "feature", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def synth_polygons(spark, n_polys: int = 25) -> DataFrame:
+    """Deterministic diamond polygons on the 1000x1000 testdata plane —
+    the fixture generator for point-in-polygon queries (mirrored in SQL)."""
+    rows = []
+    for p in range(n_polys):
+        cx = float((p * 7919 + 13) % 900 + 50)
+        cy = float((p * 104729 + 29) % 900 + 50)
+        r = float(30 + (p % 5) * 10)
+        rows.append(
+            (p, [cx - r, cx, cx + r, cx], [cy, cy - r, cy, cy + r])
+        )
+    return spark.createDataFrame(
+        rows, "poly_id int, xs array<double>, ys array<double>"
+    )

@@ -233,6 +233,7 @@ class ColocationMiner:
         t_prev: DataFrame,
         edges: DataFrame,
         candidates: list[Pattern],
+        filtered_prev: list[Pattern],
         k: int,
     ) -> DataFrame:
         """Clique-extension join: T_k rows = T_{k-1} rows of each candidate's
@@ -240,19 +241,25 @@ class ColocationMiner:
         S(I, f) = intersection of Neigh(o, f), Def. 8 eq. 10; reference
         src/miner.cpp:264-379).  Relationally: explode row members, hash-join
         member -> star edge on instance id, keep extensions seen k-1 times.
+
+        Tables carry a compact integer ``pid`` (the candidate's index in the
+        level's filtered list) instead of an ``array<string>`` pattern key —
+        the pattern universe is driver-side, so shuffles never move feature
+        strings.
         """
         spark = self.spark
+        prev_index = {c: i for i, c in enumerate(filtered_prev)}
         cand_df = spark.createDataFrame(
-            [(list(c[:-1]), c[-1]) for c in candidates],
-            "prefix array<string>, f_new string",
+            [(prev_index[c[:-1]], c[-1], pid) for pid, c in enumerate(candidates)],
+            "prefix_pid int, f_new string, pid int",
         )
         new_features = sorted({c[-1] for c in candidates})
         edges_k = edges.filter(F.col("nbr_feature").isin(new_features))
 
         base = t_prev.join(
-            F.broadcast(cand_df), t_prev.pattern == cand_df.prefix, "inner"
+            F.broadcast(cand_df), t_prev.pid == cand_df.prefix_pid, "inner"
         ).select(
-            F.concat(F.col("pattern"), F.array(F.col("f_new"))).alias("pattern"),
+            cand_df.pid.alias("pid"),
             F.col("inst"),
             F.col("f_new"),
             F.explode(F.col("inst")).alias("member_id"),
@@ -264,40 +271,47 @@ class ColocationMiner:
             "inner",
         )
         return (
-            joined.groupBy("pattern", "inst", "nbr_id")
+            joined.groupBy("pid", "inst", "nbr_id")
             .count()
             .filter(F.col("count") == k - 1)
             .select(
-                F.col("pattern"),
+                F.col("pid"),
                 F.concat(F.col("inst"), F.array(F.col("nbr_id"))).alias("inst"),
             )
         )
 
-    def _participation(self, t_k: DataFrame) -> dict[Pattern, dict[int, int]]:
-        """A6: distinct participating instances per (pattern, position)."""
+    def _participation(
+        self, t_k: DataFrame
+    ) -> tuple[dict[int, dict[int, int]], dict[int, int]]:
+        """A6 in one pass: distinct participating instances per (pid,
+        position) plus the per-pattern row count (same aggregation, no
+        separate count job)."""
         rows = (
-            t_k.select(F.col("pattern"), F.posexplode(F.col("inst")))
-            .groupBy("pattern", "pos")
-            .agg(F.countDistinct("col").alias("n"))
+            t_k.select(F.col("pid"), F.posexplode(F.col("inst")))
+            .groupBy("pid", "pos")
+            .agg(F.countDistinct("col").alias("n"), F.count("*").alias("rows"))
             .collect()
         )
-        out: dict[Pattern, dict[int, int]] = {}
+        part: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
         for r in rows:
-            out.setdefault(tuple(r["pattern"]), {})[r["pos"]] = r["n"]
-        return out
+            part.setdefault(r["pid"], {})[r["pos"]] = r["n"]
+            if r["pos"] == 0:
+                counts[r["pid"]] = r["rows"]
+        return part, counts
 
     def _select_prevalent(
         self,
         candidates: list[Pattern],
-        part: dict[Pattern, dict[int, int]],
+        part: dict[int, dict[int, int]],
         counts: dict[str, int],
         delta_value: float,
     ) -> tuple[list[Pattern], dict[Pattern, float], dict[Pattern, float]]:
         prevalent: list[Pattern] = []
         pi_map: dict[Pattern, float] = {}
         wpi_map: dict[Pattern, float] = {}
-        for c in candidates:
-            by_pos = part.get(c, {})
+        for pid, c in enumerate(candidates):
+            by_pos = part.get(pid, {})
             participating = {f: by_pos.get(i, 0) for i, f in enumerate(c)}
             pi_map[c] = measures.pi(c, participating, counts)
             w = measures.wpi(c, participating, counts, delta_value)
@@ -311,22 +325,45 @@ class ColocationMiner:
         cfg = self.config
         spark = self.spark
 
-        counts = {
-            r["feature"]: r["count"]
-            for r in instances.groupBy("feature").count().collect()
-        }
+        # One stats job: per-feature histogram + the id-hash injectivity
+        # check (participation counts are per-feature, so only intra-feature
+        # hash collisions could corrupt a distinct-count — cross-feature
+        # collisions are harmless).
+        stats_rows = (
+            instances.groupBy("feature")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.countDistinct("id").alias("n_ids"),
+                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
+            )
+            .collect()
+        )
+        counts = {r["feature"]: r["cnt"] for r in stats_rows}
         rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
         delta_value = measures.delta(counts)
 
-        pairs = self.build_pairs(instances)
-        if cfg.persist_intermediates:
-            pairs = pairs.persist()
-        pair_count = pairs.count()
+        # pairs -> edges is one linear pipeline; only the edges need to be
+        # kept (one edge per pair, so pair_count == T_2 rows — no separate
+        # count jobs over pairs or edges).
+        #
+        # Instance ids are xxhash64-encoded to int64 for every mining table:
+        # the level tables shuffle arrays of longs instead of strings (~4x
+        # smaller rows, cheaper grouping).  Exactness is verified above; on
+        # a collision (2^-64-scale probability per pair; use a dictionary
+        # join if it ever fires at 10^12 rows) we fall back to string ids.
+        encode_ids = all(r["n_ids"] == r["n_hashed"] for r in stats_rows)
 
-        edges = star_edges(pairs, counts)
+        edges = star_edges(self.build_pairs(instances), counts)
+        if encode_ids:
+            edges = edges.select(
+                "center_feature",
+                F.xxhash64("center_id").alias("center_id"),
+                "nbr_feature",
+                F.xxhash64("nbr_id").alias("nbr_id"),
+            )
         if cfg.persist_intermediates:
-            edges = edges.repartition(F.col("center_id")).persist()
-            edges.count()
+            edges = edges.persist()
+        pair_count = 0
 
         all_patterns: list[Pattern] = []
         all_wpi: dict[Pattern, float] = {}
@@ -336,6 +373,7 @@ class ColocationMiner:
         start_k = 2
         t_prev: DataFrame | None = None
         prevalent_prev: list[Pattern] = []
+        filtered_prev: list[Pattern] = []
         pi_prev: dict[Pattern, float] = {}
         if resume:
             manifests = self._load_manifests()
@@ -353,6 +391,7 @@ class ColocationMiner:
                         if pat in set(prev):
                             all_wpi[pat] = v
                 prevalent_prev = [tuple(p) for p in last["prevalent"]]
+                filtered_prev = [tuple(p) for p in last["filtered_candidates"]]
                 pi_prev = {tuple(k.split(",")): v for k, v in last["pi"].items()}
 
         k = start_k
@@ -368,12 +407,34 @@ class ColocationMiner:
                     for j in range(i + 1, len(features_ranked))
                 ]
                 filtered = candidates
-                t_k = edges.select(
-                    F.array(F.col("center_feature"), F.col("nbr_feature")).alias(
-                        "pattern"
-                    ),
+                pid_map = spark.createDataFrame(
+                    [(c[0], c[1], pid) for pid, c in enumerate(filtered)],
+                    "center_feature string, nbr_feature string, pid int",
+                )
+                t_k = edges.join(
+                    F.broadcast(pid_map), ["center_feature", "nbr_feature"]
+                ).select(
+                    "pid",
                     F.array(F.col("center_id"), F.col("nbr_id")).alias("inst"),
                 )
+                # k=2 participation straight off the edges: the star edge IS
+                # the size-2 row instance, so per-(pattern, position) distinct
+                # counts need no posexplode pass over a materialized T_2.
+                part = {}
+                rows_by_pid = {}
+                pid_of = {c: pid for pid, c in enumerate(filtered)}
+                for r in (
+                    edges.groupBy("center_feature", "nbr_feature")
+                    .agg(
+                        F.countDistinct("center_id").alias("n0"),
+                        F.countDistinct("nbr_id").alias("n1"),
+                        F.count("*").alias("rows"),
+                    )
+                    .collect()
+                ):
+                    pid = pid_of[(r["center_feature"], r["nbr_feature"])]
+                    part[pid] = {0: r["n0"], 1: r["n1"]}
+                    rows_by_pid[pid] = r["rows"]
             else:
                 if not prevalent_prev:
                     break
@@ -388,15 +449,19 @@ class ColocationMiner:
                 )
                 if not filtered:
                     break
-                t_k = self._table_k(t_prev, edges, filtered, k)
+                t_k = self._table_k(t_prev, edges, filtered, filtered_prev, k)
 
             # Truncate lineage: each level joins against the previous one and
             # the plan tree would otherwise grow exponentially (SURVEY §7).
             # localCheckpoint also persists the level's rows for the next join.
-            t_k = t_k.localCheckpoint(eager=True)
-            table_rows = t_k.count()
-
-            part = self._participation(t_k)
+            # T_2 is exempt: it is a pure projection of the persisted edges,
+            # so materializing it would double-store the biggest table.
+            if k > 2:
+                t_k = t_k.localCheckpoint(eager=True)
+                part, rows_by_pid = self._participation(t_k)
+            table_rows = sum(rows_by_pid.values())
+            if k == 2:
+                pair_count = table_rows
             prevalent, pi_map, wpi_map = self._select_prevalent(
                 filtered, part, counts, delta_value
             )
@@ -409,10 +474,11 @@ class ColocationMiner:
                 LevelStats(k, len(candidates), len(filtered), len(prevalent), table_rows, time.time() - t0)
             )
 
-            if t_prev is not None and cfg.persist_intermediates:
+            if t_prev is not None:
                 t_prev.unpersist()
             t_prev = t_k
             prevalent_prev, pi_prev = prevalent, pi_map
+            filtered_prev = filtered
             k += 1
             if not prevalent_prev:
                 break
@@ -421,8 +487,9 @@ class ColocationMiner:
             if k > len(counts):
                 break
 
+        if t_prev is not None:
+            t_prev.unpersist()
         if cfg.persist_intermediates:
-            pairs.unpersist()
             edges.unpersist()
 
         return MiningResult(

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # RAM-backed shuffle spill when available: local-mode shuffles are
+        # otherwise bottlenecked on one shared disk (a real cluster spreads
+        # them across executors' local disks)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -53,6 +53,10 @@ def synthesize_image_table(
     the events-derived ids are ``feature#ordinal``).
     """
 
+    parallelism = instances.sparkSession.sparkContext.defaultParallelism
+    if instances.rdd.getNumPartitions() < parallelism:
+        instances = instances.repartition(parallelism)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {

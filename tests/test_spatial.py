@@ -1,0 +1,107 @@
+"""Point-in-polygon + spatial kNN operators."""
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+    knn,
+    point_in_polygon,
+    synth_polygons,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id string, x double, y double")
+
+
+def test_point_in_polygon_hand_cases(spark):
+    polys = spark.createDataFrame(
+        [
+            (0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),  # unit-ish square
+            (1, [20.0, 30.0, 25.0], [0.0, 0.0, 10.0]),  # triangle
+        ],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    pts = _pts(
+        spark,
+        [
+            ("in_sq", 5.0, 5.0),
+            ("out_sq", 15.0, 5.0),
+            ("in_tri", 25.0, 3.0),
+            ("out_tri", 21.0, 9.0),
+            ("far", 100.0, 100.0),
+        ],
+    )
+    got = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys).collect()}
+    assert got == {("in_sq", 0), ("in_tri", 1)}
+
+
+def test_point_in_polygon_blocked_equals_unblocked(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pts = _pts(
+        spark,
+        [(f"p{i}", float(rng.uniform(0, 1000)), float(rng.uniform(0, 1000))) for i in range(300)],
+    )
+    polys = synth_polygons(spark)
+    a = {tuple(r) for r in point_in_polygon(pts, polys, blocked=True).collect()}
+    b = {tuple(r) for r in point_in_polygon(pts, polys, blocked=False).collect()}
+    assert a == b
+
+
+def test_point_in_polygon_matches_numpy_oracle(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(f"p{i}", float(rng.uniform(0, 100)), float(rng.uniform(0, 100))) for i in range(200)]
+    polys = spark.createDataFrame(
+        [(0, [10.0, 60.0, 60.0, 10.0], [10.0, 10.0, 60.0, 60.0]),
+         (1, [50.0, 90.0, 70.0], [50.0, 50.0, 95.0])],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+
+    def inside(px, py, xs, ys):
+        c = False
+        n = len(xs)
+        for i in range(n):
+            j = (i - 1) % n
+            if (ys[i] > py) != (ys[j] > py) and px < (xs[j] - xs[i]) * (py - ys[i]) / (ys[j] - ys[i]) + xs[i]:
+                c = not c
+        return c
+
+    expected = set()
+    for pid, xs, ys in [(0, [10, 60, 60, 10], [10, 10, 60, 60]), (1, [50, 90, 70], [50, 50, 95])]:
+        for iid, px, py in rows:
+            if inside(px, py, xs, ys):
+                expected.add((iid, pid))
+    got = {tuple(r) for r in point_in_polygon(_pts(spark, rows), polys).collect()}
+    assert got == expected
+
+
+def test_knn_exact(spark):
+    inst = spark.createDataFrame(
+        [("A", "A1", 0.0, 0.0), ("B", "B1", 1.0, 0.0), ("C", "C1", 0.0, 2.0),
+         ("A", "A2", 3.0, 0.0), ("B", "B2", 0.0, 4.0)],
+        "feature string, id string, x double, y double",
+    )
+    q = spark.createDataFrame([("q0", 0.0, 0.0)], "qid string, x double, y double")
+    got = [(r.id, r.rank) for r in knn(inst, q, k=3).orderBy("rank").collect()]
+    assert got == [("A1", 1), ("B1", 2), ("C1", 3)]
+
+
+def test_knn_tie_break_by_id(spark):
+    inst = spark.createDataFrame(
+        [("A", "A1", 1.0, 0.0), ("B", "B1", 0.0, 1.0), ("C", "C1", -1.0, 0.0)],
+        "feature string, id string, x double, y double",
+    )
+    q = spark.createDataFrame([("q0", 0.0, 0.0)], "qid string, x double, y double")
+    got = [r.id for r in knn(inst, q, k=3).orderBy("rank").collect()]
+    assert got == ["A1", "B1", "C1"]  # equal distances -> id order
+
+
+def test_knn_exclude_self(spark):
+    inst = spark.createDataFrame(
+        [("A", "A1", 0.0, 0.0), ("B", "B1", 1.0, 0.0)],
+        "feature string, id string, x double, y double",
+    )
+    q = spark.createDataFrame([("A1", 0.0, 0.0)], "qid string, x double, y double")
+    got = [r.id for r in knn(inst, q, k=2, exclude_self=True).collect()]
+    assert got == ["B1"]
