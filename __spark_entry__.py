@@ -351,6 +351,24 @@ def _q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_duplicates(emb, threshold=EMB_DUP_T)
 
 
+CELL_RES = 9
+
+
+def _q_cell_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        cell_id,
+        compute_bounds,
+        with_cell,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return with_cell(inst, grid).select(
+        "id",
+        cell_id(F.col("cell_x"), F.col("cell_y"), CELL_RES).alias("cell_id"),
+    )
+
+
 def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
         point_in_polygon,
@@ -410,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_dupes": _q_emb_dupes,
+        "cell_id_assign": _q_cell_id,
         "point_in_polygon": _q_point_in_polygon,
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
@@ -420,6 +439,33 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full co-location mining over instances derived from the
     sf0.001 events table (driver smoke check)."""
     return _q_mine_full(spark, "/root/testdata/sf0.001")
+
+
+def _cell_id_oracle_sql() -> str:
+    """Morton-interleaved hierarchical cell id, generated as the same bit
+    arithmetic the engine's cell_id() expression performs."""
+    morton = " | ".join(
+        f"((((cell_x >> {b}) & 1) << {2 * b + 1}) | (((cell_y >> {b}) & 1) << {2 * b}))"
+        for b in range(15)
+    )
+    return f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE}
+SELECT id,
+       CAST(({CELL_RES}::BIGINT << 58) | ({morton}) AS BIGINT) AS cell_id
+FROM cells
+"""
+
+
+def _lsh_planes_sql(dim: int = 64, nplanes: int = 12) -> str:
+    """The engine's deterministic hyperplanes as SQL list literals."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
+        _plane,
+    )
+
+    rows = ", ".join(
+        f"({p}, {list(_plane(p, dim))})" for p in range(nplanes)
+    )
+    return f"planes(p, vec) AS (SELECT * FROM (VALUES {rows}) t(p, vec))"
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -583,6 +629,41 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM qemb a JOIN qemb b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.q, b.q)
       / (SQRT(list_dot_product(a.q, a.q)) * SQRT(list_dot_product(b.q, b.q))) >= {EMB_DUP_T!r}
+""",
+        "cell_id_assign": _cell_id_oracle_sql(),
+        "ann_lsh_topk": f"""
+WITH {_QEMB_CTE},
+{_lsh_planes_sql()},
+planes_d AS (
+  SELECT p, list_transform(vec, v -> CAST(v AS DOUBLE)) AS vec_d FROM planes
+),
+bucketed AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.q, pl.vec_d) >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM qemb e CROSS JOIN planes_d pl
+  GROUP BY e.vec_id
+),
+qb AS (
+  SELECT q.vec_id AS query_id, q.q AS qv, b.bucket
+  FROM qemb q JOIN bucketed b ON q.vec_id = b.vec_id
+  WHERE q.vec_id IN ({", ".join(map(str, ANN_QUERIES))})
+),
+cb AS (
+  SELECT c.vec_id AS neighbor_id, c.q AS cv, b.bucket
+  FROM qemb c JOIN bucketed b ON c.vec_id = b.vec_id
+),
+scored AS (
+  SELECT qb.query_id, cb.neighbor_id,
+         CAST(list_dot_product(qb.qv, cb.cv) AS BIGINT) AS dot
+  FROM qb JOIN cb ON qb.bucket = cb.bucket
+  WHERE qb.query_id <> cb.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
 """,
         "point_in_polygon": f"""
 WITH {_INSTANCES_CTE},

@@ -67,6 +67,78 @@ def with_cell(instances: DataFrame, grid: GridSpec) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# Hierarchical cell ids (H3/S2-style, planar): a 62-bit Morton/z-order    #
+# index with an explicit resolution field, so tiles nest exactly like    #
+# H3/S2 cells do — parent(cell) strips 2 bits, children(cell) appends    #
+# them, and the same id space serves every zoom level of the tile sink.  #
+# Layout: [4 bits resolution][29 bits interleaved x][29 bits interleaved #
+# y] — resolutions 0..15, up to 2^29 cells per axis at max resolution.   #
+# --------------------------------------------------------------------- #
+
+MAX_RESOLUTION = 15
+
+
+def _interleave_expr(x: Column, y: Column, bits: int) -> Column:
+    """Morton-interleave two int columns bit-by-bit (pure expressions —
+    compiles into whole-stage codegen, no UDF)."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b)
+        )
+    return out
+
+
+def cell_id(cell_x: Column, cell_y: Column, resolution: int, bits: int = 15) -> Column:
+    """Pack (cell_x, cell_y) into the hierarchical cell id at ``resolution``.
+
+    ``bits`` bounds the per-axis coordinate width actually interleaved
+    (15 covers 32k cells per axis — raise for finer grids; cost is linear
+    in bits)."""
+    if not 0 <= resolution <= MAX_RESOLUTION:
+        raise ValueError(f"resolution must be in [0, {MAX_RESOLUTION}]")
+    z = _interleave_expr(cell_x, cell_y, bits)
+    return F.shiftleft(F.lit(resolution).cast("long"), 58).bitwiseOR(z)
+
+
+def cell_resolution(cid: Column) -> Column:
+    return F.shiftright(cid, 58).cast("int")
+
+
+def cell_parent(cid: Column) -> Column:
+    """The containing cell one resolution coarser (2x2 aggregation)."""
+    res = F.shiftright(cid, 58)
+    z = cid.bitwiseAND(F.lit((1 << 58) - 1))
+    return F.shiftleft((res - 1).cast("long"), 58).bitwiseOR(F.shiftright(z, 2))
+
+
+def cell_children(cid: Column) -> Column:
+    """Array of the four child cells one resolution finer."""
+    res = F.shiftright(cid, 58)
+    z = cid.bitwiseAND(F.lit((1 << 58) - 1))
+    base = F.shiftleft((res + 1).cast("long"), 58)
+    return F.array(
+        *[
+            base.bitwiseOR(F.shiftleft(z, 2).bitwiseOR(F.lit(i).cast("long")))
+            for i in range(4)
+        ]
+    )
+
+
+def with_cell_id(instances: DataFrame, grid: GridSpec, resolution: int) -> DataFrame:
+    """Append the packed hierarchical ``cell_id`` for a grid whose cell
+    size corresponds to ``resolution`` (caller pairs GridSpec + resolution;
+    resolution r cells are exactly the 2^(15-r)-fold aggregation of
+    resolution-15 cells when grids are derived by halving)."""
+    df = with_cell(instances, grid)
+    return df.withColumn(
+        "cell_id", cell_id(F.col("cell_x"), F.col("cell_y"), resolution)
+    )
+
+
 def cell_sql(grid: GridSpec) -> tuple[str, str]:
     """ANSI-SQL expressions for the same cell id (used by DuckDB oracles)."""
     cx = (
