@@ -1,0 +1,75 @@
+"""Custom stateful streaming operator (applyInPandasWithState)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+    GridSpec,
+    with_cell,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.stateful import (
+    run_update_stream,
+    run_update_stream_durable,
+    streaming_tile_state,
+)
+
+
+def test_stateful_totals_match_batch_and_hot_fires_once(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1)
+    # cell (0,0) gets 150 rows (crosses the hot threshold 100); (1,1) gets 30
+    rows = [(base + datetime.timedelta(seconds=i), "A", 0.5, 0.5) for i in range(150)]
+    rows += [(base + datetime.timedelta(seconds=i), "B", 2.5, 2.5) for i in range(30)]
+    df = spark.createDataFrame(rows, "ts timestamp, feature string, x double, y double")
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    df.repartition(6).write.parquet(src)
+
+    grid = GridSpec(0.0, 0.0, 4.0, 4.0, 2.0)
+    sdf = streaming_tile_state(spark, src, grid)
+    run_update_stream(sdf, str(tmp_path / "ckpt"), "tile_state")
+
+    out = spark.sql("select * from tile_state").collect()
+    # final cumulative totals per cell match the batch ground truth
+    finals = {}
+    hot_fires = {}
+    for r in out:
+        key = (r.cell_x, r.cell_y)
+        finals[key] = max(finals.get(key, 0), r.total)
+        hot_fires[key] = hot_fires.get(key, 0) + int(r.went_hot)
+    batch = {
+        (r.cell_x, r.cell_y): r.n
+        for r in with_cell(df, grid).groupBy("cell_x", "cell_y").agg(F.count("*").alias("n")).collect()
+    }
+    assert finals == batch
+    assert hot_fires[(0, 0)] == 1  # fires exactly once despite several batches
+    assert hot_fires.get((1, 1), 0) == 0  # never crossed
+
+
+def test_stateful_resume_from_checkpoint(spark, tmp_path):
+    """State survives a stop/restart via the streaming checkpoint."""
+    base = datetime.datetime(2024, 1, 1)
+    grid = GridSpec(0.0, 0.0, 4.0, 4.0, 2.0)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    df1 = spark.createDataFrame(
+        [(base, "A", 0.5, 0.5)] * 60, "ts timestamp, feature string, x double, y double"
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+    run_update_stream_durable(streaming_tile_state(spark, src, grid), ckpt, out_dir)
+
+    # second tranche arrives after the first drain completed
+    df2 = spark.createDataFrame(
+        [(base, "A", 0.6, 0.6)] * 70, "ts timestamp, feature string, x double, y double"
+    )
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run_update_stream_durable(streaming_tile_state(spark, src, grid), ckpt, out_dir)
+
+    out = {r.total: r for r in spark.read.parquet(out_dir).collect()}
+    # resumed state: 60 (from run 1) + 70 = 130 total, hot fired in run 2
+    assert 60 in out and not out[60].went_hot
+    assert 130 in out
+    assert out[130].went_hot  # crossed 100 only after resuming with state 60
