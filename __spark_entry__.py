@@ -468,6 +468,43 @@ def _lsh_planes_sql(dim: int = 64, nplanes: int = 12) -> str:
     return f"planes(p, vec) AS (SELECT * FROM (VALUES {rows}) t(p, vec))"
 
 
+def _simhash_oracle_sql(hamming_max: int = 3) -> str:
+    """Mirror of dedup.simhash: 60-bit md5-based token hash, sign-of-sum
+    bits, quadratic hamming join (blocking is a lossless physical rewrite
+    the oracle does not need)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        SIMHASH_BITS,
+    )
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_DOCTOK_CTE},
+tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM doctok
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_max}
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
     stop = {
@@ -589,6 +626,7 @@ SELECT doc_id, canonical_id, group_size FROM g WHERE group_size > 1
 """,
         "dedup_ngram_jaccard": _exact_jaccard_sql(JACCARD_T),
         "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
+        "dedup_simhash": _simhash_oracle_sql(),
         "text_stats": r"""
 WITH doctok AS (
   SELECT doc_id, text,

@@ -240,32 +240,43 @@ def minhash_lsh_duplicates(
     return _verified_jaccard_pairs(cand, sh, threshold)
 
 
+#: bits in the SQL-portable token hash (15 hex digits of md5 -> 60 bits);
+#: both Spark (conv) and ANSI engines (hex cast) produce the identical int64.
+SIMHASH_BITS = 60
+
+
+def token_hash60(tok: F.Column) -> F.Column:
+    """60-bit token hash = int(md5(tok)[0:15], 16) — chosen over xxhash64
+    because every SQL engine can reproduce it, making simhash oracle-
+    checkable end-to-end."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash bigint): 64-bit sign-of-sum sketch over token
-    xxhash64 values — bit j is 1 iff more token hashes have bit j set than
-    not."""
+    """(doc_id, simhash bigint): SIMHASH_BITS sign-of-sum sketch — bit j is
+    1 iff more token hashes have bit j set than not."""
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash60(F.col("tok")))
     per_bit = toks.select(
         "doc_id",
         *[
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ],
     )
     agg = per_bit.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(SIMHASH_BITS)]
     )
     sig = agg.select(
         "doc_id",
         sum(
             [
                 F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(0)
-                * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("bigint")
-                for j in range(64)
+                * F.lit(2 ** j).cast("bigint")
+                for j in range(SIMHASH_BITS)
             ]
         ).alias("simhash"),
     )
@@ -277,12 +288,12 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= hamming_max.
 
-    Blocking: split the 64-bit sketch into hamming_max+1 chunks; by
+    Blocking: split the sketch into hamming_max+1 chunks; by
     pigeonhole two sketches within the distance share at least one exact
     chunk, so the equi-join on (chunk_index, chunk_value) is lossless.
     """
     nchunks = hamming_max + 1
-    width = 64 // nchunks
+    width = SIMHASH_BITS // nchunks
     sigs = simhash(docs, text_col)
     chunks = sigs.select(
         "doc_id",
