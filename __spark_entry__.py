@@ -597,14 +597,20 @@ part AS (
   FROM edges GROUP BY center_feature, nbr_feature
 ),
 wpi AS (
+  -- weight = 1/RI, but 0 when delta <= 1e-9 or RI <= 1e-9 (the reference
+  -- prunes such patterns outright: src/utils.cpp:205, src/miner.cpp:400-408).
+  -- f1 is the rarer member (rank order) so RI(f1) = exp(0) = 1 whenever
+  -- delta > 1e-9.
   SELECT p.f1, p.f2,
          LEAST(
-           (CAST(p.n1 AS DOUBLE) / c1.cnt)
-             / GREATEST(EXP(-((CAST(c1.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c1.cnt AS DOUBLE)/c1.cnt - 1))
-                             / (2 * d.delta * d.delta)), 1e-9),
-           (CAST(p.n2 AS DOUBLE) / c2.cnt)
-             / GREATEST(EXP(-((CAST(c2.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c2.cnt AS DOUBLE)/c1.cnt - 1))
-                             / (2 * d.delta * d.delta)), 1e-9)
+           CASE WHEN d.delta <= 1e-9 THEN 0.0
+                ELSE CAST(p.n1 AS DOUBLE) / c1.cnt END,
+           CASE WHEN d.delta <= 1e-9 THEN 0.0
+                WHEN EXP(-((CAST(c2.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c2.cnt AS DOUBLE)/c1.cnt - 1))
+                         / (2 * d.delta * d.delta)) <= 1e-9 THEN 0.0
+                ELSE (CAST(p.n2 AS DOUBLE) / c2.cnt)
+                     / EXP(-((CAST(c2.cnt AS DOUBLE)/c1.cnt - 1)*(CAST(c2.cnt AS DOUBLE)/c1.cnt - 1))
+                           / (2 * d.delta * d.delta)) END
          ) AS wpi
   FROM part p
   JOIN fcounts c1 ON c1.feature = p.f1
@@ -756,7 +762,7 @@ SELECT qid, id, feature, dist, rank FROM ranked WHERE rank <= 5
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY 1, 2
 """,

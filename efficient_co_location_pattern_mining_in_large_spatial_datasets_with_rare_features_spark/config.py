@@ -72,8 +72,10 @@ def load_config_file(path: str) -> ColocationConfig:
     ``min_prevalence``; others (``dataset_path``, ``output_path``,
     ``min_cond_prob``, ``debug_mode``) are accepted and exposed in ``extras``.
     """
-    d = 100.0
-    prev = 0.3
+    # Missing-key defaults mirror the reference AppConfig
+    # (include/config.h:40-44: neighborDistance=5.0, minPrev=0.6).
+    d = 5.0
+    prev = 0.6
     extras: dict[str, str] = {}
     try:
         with open(path) as f:

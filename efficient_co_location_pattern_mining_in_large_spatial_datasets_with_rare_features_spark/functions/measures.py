@@ -58,21 +58,29 @@ def rare_intensity(num_f: int, num_fmin: int, delta_value: float) -> float:
     """RI(f, C) = exp(-(v-1)^2 / (2 delta^2)) — Gaussian kernel of deviation.
 
     Equals 1 for the rarest feature of C and decays toward 0 as f becomes
-    relatively common.  Reference: src/utils.cpp:198-245; paper Def. 3 eq. 5.
+    relatively common.  Degenerate guards match the reference exactly:
+    delta <= EPSILON_DELTA or num_fmin <= 0 yield RI = 0 (so weight = 0 and
+    the pattern can never be prevalent).  Reference: src/utils.cpp:198-245
+    (delta guard at :205, minCount guard at :229); paper Def. 3 eq. 5.
     """
+    if delta_value <= RI_EPSILON or num_fmin <= 0:
+        return 0.0
     v = deviation(num_f, num_fmin)
-    if delta_value == 0:
-        return 1.0 if v == 1.0 else 0.0
     return math.exp(-((v - 1.0) ** 2) / (2.0 * delta_value * delta_value))
 
 
 def weight(num_f: int, num_fmin: int, delta_value: float) -> float:
-    """w(f, C) = 1 / RI(f, C), clamped by RI_EPSILON.
+    """w(f, C) = 1 / RI(f, C), or 0 when RI <= RI_EPSILON.
 
+    The zero branch matters: WPR = PR * 0 = 0, so a feature whose deviation
+    is extreme enough to underflow RI *disqualifies* the whole pattern
+    (the reference never declares such patterns prevalent).
     Reference: src/miner.cpp:397-410; paper Def. 4 eq. 6.
     """
     ri = rare_intensity(num_f, num_fmin, delta_value)
-    return 1.0 / max(ri, RI_EPSILON)
+    if ri <= RI_EPSILON:
+        return 0.0
+    return 1.0 / ri
 
 
 def wpi(

@@ -100,8 +100,20 @@ def cell_id(cell_x: Column, cell_y: Column, resolution: int, bits: int = 15) -> 
     in bits)."""
     if not 0 <= resolution <= MAX_RESOLUTION:
         raise ValueError(f"resolution must be in [0, {MAX_RESOLUTION}]")
+    if not 1 <= bits <= 29:
+        raise ValueError(f"bits must be in [1, 29], got {bits}")
+    # Coordinates wider than `bits` would silently alias onto other cells;
+    # poison such rows to NULL instead (assert_true raises at execution).
+    limit = F.lit(1 << bits)
+    ok = (
+        (cell_x >= 0) & (cell_x < limit) & (cell_y >= 0) & (cell_y < limit)
+    )
+    guard = F.assert_true(
+        ok, F.lit(f"cell coordinate out of range for bits={bits}")
+    )
     z = _interleave_expr(cell_x, cell_y, bits)
-    return F.shiftleft(F.lit(resolution).cast("long"), 58).bitwiseOR(z)
+    packed = F.shiftleft(F.lit(resolution).cast("long"), 58).bitwiseOR(z)
+    return F.when(guard.isNull(), packed)
 
 
 def cell_resolution(cid: Column) -> Column:
@@ -109,10 +121,14 @@ def cell_resolution(cid: Column) -> Column:
 
 
 def cell_parent(cid: Column) -> Column:
-    """The containing cell one resolution coarser (2x2 aggregation)."""
+    """The containing cell one resolution coarser (2x2 aggregation).
+
+    Resolution 0 is the root and has no parent: returns NULL there instead
+    of underflowing the packed resolution field to -1."""
     res = F.shiftright(cid, 58)
     z = cid.bitwiseAND(F.lit((1 << 58) - 1))
-    return F.shiftleft((res - 1).cast("long"), 58).bitwiseOR(F.shiftright(z, 2))
+    parent = F.shiftleft((res - 1).cast("long"), 58).bitwiseOR(F.shiftright(z, 2))
+    return F.when(res > 0, parent)
 
 
 def cell_children(cid: Column) -> Column:

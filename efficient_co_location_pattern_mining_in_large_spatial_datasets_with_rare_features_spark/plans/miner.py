@@ -101,8 +101,17 @@ def filter_candidates(
         if ok:
             sub0 = c[1:]
             pi_val = pi_prev.get(sub0, 0.0)
-            w_max = measures.weight(counts[c[-1]], counts[c[0]], delta_value)
-            if pi_val * w_max < min_prev:
+            # The reference's Lemma-3 bound divides RAW — w = 1/RI with no
+            # epsilon guard (src/miner.cpp:189-203).  IEEE semantics when RI
+            # underflows to 0: w = inf, and pi*inf is inf (keep) or 0*inf =
+            # NaN, and C++ `NaN < minPrev` is false (keep).  So only a
+            # *finite* product below min_prev prunes.  (Selection-time WPI
+            # uses the guarded weight() — weight 0 — which is a different
+            # branch in the reference; keep the two distinct.)
+            ri_max = measures.rare_intensity(
+                counts[c[-1]], counts[c[0]], delta_value
+            )
+            if ri_max > 0.0 and pi_val * (1.0 / ri_max) < min_prev:
                 ok = False
         if ok:
             kept.append(c)
@@ -174,14 +183,18 @@ class ColocationMiner:
         if not self.config.checkpoint_dir:
             return
         path = self._ckpt_path(f"level_{k}")
-        table.write.mode("overwrite").parquet(os.path.join(path, "table"))
-        written = self.spark.read.parquet(os.path.join(path, "table"))
-        part_counts = [
-            [r["pid"], r["rows"]]
-            for r in written.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
+        table_dir = os.path.join(path, "table")
+        table.write.mode("overwrite").parquet(table_dir)
+        # Per-partition row counts come from the parquet FOOTERS of the files
+        # just written — metadata-only, no second scan of the level's data
+        # (each task writes one part file, so file == partition).
+        import pyarrow.parquet as pq
+
+        part_counts = []
+        for i, fname in enumerate(sorted(os.listdir(table_dir))):
+            if fname.endswith(".parquet"):
+                fpath = os.path.join(table_dir, fname)
+                part_counts.append([i, pq.ParquetFile(fpath).metadata.num_rows])
         manifest = {
             "level": k,
             "row_count": table_rows,
@@ -379,6 +392,25 @@ class ColocationMiner:
             manifests = self._load_manifests()
             if manifests:
                 last = manifests[-1]
+                # Checkpointed levels were mined under a specific semantic
+                # config; silently mixing levels from different (d, min_prev)
+                # would corrupt the result set. Refuse to resume on mismatch.
+                ck = last["lineage"]["config"]
+                if (
+                    ck["neighbor_distance"] != cfg.neighbor_distance
+                    or ck["min_prevalence"] != cfg.min_prevalence
+                ):
+                    raise ValueError(
+                        "checkpoint was mined under config "
+                        f"(d={ck['neighbor_distance']}, "
+                        f"min_prev={ck['min_prevalence']}) but the active "
+                        f"config is (d={cfg.neighbor_distance}, "
+                        f"min_prev={cfg.min_prevalence}); clear "
+                        f"{cfg.checkpoint_dir} or match the config to resume"
+                    )
+                for m in manifests:
+                    if m["level"] == 2:
+                        pair_count = m["row_count"]
                 start_k = last["level"] + 1
                 t_prev = spark.read.parquet(
                     self._ckpt_path(f"level_{last['level']}", "table")

@@ -86,3 +86,31 @@ def test_with_cell_id_on_instances(spark, sample_instances):
     for r in rows:
         key = (r.cell_x, r.cell_y)
         assert seen.setdefault(key, r.cell_id) == r.cell_id
+
+
+def test_out_of_range_coordinate_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = _df(spark, [(40000, 3)]).select(
+        cell_id(F.col("cell_x"), F.col("cell_y"), 4).alias("cid")
+    )
+    with pytest.raises(Exception) as exc:
+        df.collect()
+    assert "out of range" in str(exc.value)
+
+
+def test_parent_of_root_is_null(spark):
+    df = _df(spark, [(0, 0)]).select(
+        cell_parent(cell_id(F.col("cell_x"), F.col("cell_y"), 0)).alias("p")
+    )
+    assert df.collect()[0].p is None
+
+
+def test_bits_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        cell_id(F.col("x"), F.col("y"), 3, bits=0)
+    with pytest.raises(ValueError):
+        cell_id(F.col("x"), F.col("y"), 3, bits=30)

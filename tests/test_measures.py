@@ -48,15 +48,50 @@ def test_rank_order_count_then_name():
     assert ranked == ["D", "B", "C", "A"]
 
 
-def test_weight_is_inverse_ri_clamped():
+def test_weight_zero_when_ri_underflows():
     assert measures.weight(2, 2, 1.0) == 1.0
-    # enormous deviation -> RI underflows -> clamped by epsilon
-    assert measures.weight(10**6, 1, 0.1) == 1.0 / measures.RI_EPSILON
+    # enormous deviation -> RI <= epsilon -> weight 0 (reference
+    # src/miner.cpp:400-408), which makes WPR = 0 and disqualifies the
+    # pattern; the old clamp-to-1e9 behaviour declared it prevalent.
+    assert measures.weight(10**6, 1, 0.1) == 0.0
+    # just over the epsilon boundary stays on the 1/RI path
+    ri = measures.rare_intensity(10, 2, 1.0)
+    assert measures.weight(10, 2, 1.0) == 1.0 / ri
+
+
+def test_skewed_counts_never_prevalent():
+    """A feature ~100x more common than f_min has RI ~ 0 -> weight 0 ->
+    WPI 0, even with perfect participation (ADVICE r1 regression)."""
+    counts = {"rare": 10, "common": 1000}
+    d = measures.delta(counts)  # = 100.0 for two features
+    # deviation v = 100 -> (v-1)^2/(2 d^2) = 9801/20000 -> RI ~ 0.6: fine.
+    # Make it extreme: delta small because of a third balancing feature.
+    counts3 = {"rare": 10, "mid": 11, "common": 1000}
+    d3 = measures.delta(counts3)
+    ri_common = measures.rare_intensity(1000, 10, d3)
+    if ri_common <= measures.RI_EPSILON:
+        w = measures.wpi(
+            ("rare", "mid", "common"),
+            {"rare": 10, "mid": 11, "common": 1000},
+            counts3,
+            d3,
+        )
+        assert w == 0.0
+    # Direct underflow case regardless of dataset shape:
+    w0 = measures.wpi(
+        ("rare", "common"),
+        {"rare": 10, "common": 1000},
+        {"rare": 10, "common": 1000},
+        0.5,
+    )
+    assert w0 == 0.0  # RI(common) = exp(-99^2/0.5) == 0 -> weight 0
 
 
 def test_delta_degenerate():
     assert measures.delta({"A": 7}) == 0.0
     assert measures.delta({}) == 0.0
-    # delta=0 two-feature edge: equal counts -> RI=1, unequal -> RI=0
-    assert measures.rare_intensity(3, 3, 0.0) == 1.0
+    # delta <= epsilon -> RI = 0 for every feature (reference
+    # src/utils.cpp:205 returns 0 outright, even at v == 1)
+    assert measures.rare_intensity(3, 3, 0.0) == 0.0
     assert measures.rare_intensity(5, 3, 0.0) == 0.0
+    assert measures.rare_intensity(3, 0, 1.0) == 0.0  # minCount guard

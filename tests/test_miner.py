@@ -83,6 +83,12 @@ def test_checkpoint_resume_identical(spark, sample_instances, tmp_path):
     assert m["row_count"] == 48
     assert sum(c for _, c in m["partition_row_counts"]) == 48
     assert m["lineage"]["config"]["neighbor_distance"] == 5.0
+    # resume restores pair_count from the level-2 manifest
+    assert res_resumed.pair_count == res_full.pair_count == 48
+    # resuming under a different semantic config must refuse, not mix levels
+    cfg_changed = eng.ColocationConfig(4.0, 0.6, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint was mined under"):
+        eng.ColocationMiner(spark, cfg_changed).mine(sample_instances, resume=True)
 
 
 @pytest.mark.parametrize("seed", [11, 23])
