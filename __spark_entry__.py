@@ -182,6 +182,97 @@ WHERE len(a.sh) > 0 AND len(b.sh) > 0
 """
 
 
+def _wpr_sql(i: int, k: int) -> str:
+    """WPR(f_i, C) in DuckDB SQL: PR / RI with the reference's zero-weight
+    guards (delta <= 1e-9 or RI <= 1e-9 -> WPR 0; src/utils.cpp:205,
+    src/miner.cpp:400-408).  fc1 is the rarest member, so fc1.cnt = num(f_min)."""
+    v = f"(CAST(fc{i}.cnt AS DOUBLE)/fc1.cnt - 1)"
+    expo = f"EXP(-({v}*{v}) / (2 * d.delta * d.delta))"
+    return (
+        f"CASE WHEN d.delta <= 1e-9 THEN 0.0 "
+        f"WHEN {expo} <= 1e-9 THEN 0.0 "
+        f"ELSE (CAST(p.n{i} AS DOUBLE)/fc{i}.cnt) / {expo} END"
+    )
+
+
+def _mine_full_oracle_sql(k_max: int = 5) -> str:
+    """Brute-force DuckDB mining oracle, unrolled to ``k_max``.
+
+    Independent of the engine's level-wise plan: enumerates every clique of
+    the oriented neighbor graph per pattern (cliques of rank-ordered features
+    f1 < ... < fk need exactly the oriented edges i_a -> i_b for a < b,
+    because star edges point from lower to higher feature rank), computes
+    WPI directly, and gates each size on the previous size being non-empty
+    (the reference's stopping rule, src/miner.cpp:51-57: the level loop ends
+    at the first level with no prevalent patterns).  Lemma-2/3 pruning is
+    sound (paper §4), so brute force and the pruned level-wise plan agree.
+    """
+    ctes = [
+        """redges AS (
+  SELECT e.center_id AS ci, e.nbr_id AS ni, e.nbr_feature AS nf, rn.rnk AS nrnk
+  FROM edges e JOIN franks rn ON rn.feature = e.nbr_feature
+)""",
+        """cl2 AS (
+  SELECT e.center_feature AS f1, e.nbr_feature AS f2,
+         e.center_id AS i1, e.nbr_id AS i2, rn.rnk AS r2
+  FROM edges e JOIN franks rn ON rn.feature = e.nbr_feature
+)""",
+    ]
+    for k in range(3, k_max + 1):
+        prev_cols = ", ".join(
+            [f"t.f{j}" for j in range(1, k)] + [f"t.i{j}" for j in range(1, k)]
+        )
+        closure = "\n  ".join(
+            f"JOIN redges e{j} ON e{j}.ci = t.i{j} AND e{j}.ni = e1.ni"
+            for j in range(2, k)
+        )
+        ctes.append(
+            f"""cl{k} AS (
+  SELECT {prev_cols}, e1.nf AS f{k}, e1.ni AS i{k}, e1.nrnk AS r{k}
+  FROM cl{k - 1} t
+  JOIN redges e1 ON e1.ci = t.i1 AND e1.nrnk > t.r{k - 1}
+  {closure}
+)"""
+        )
+    for k in range(2, k_max + 1):
+        feats = ", ".join(f"f{j}" for j in range(1, k + 1))
+        narrs = ", ".join(f"COUNT(DISTINCT i{j}) AS n{j}" for j in range(1, k + 1))
+        ctes.append(
+            f"part{k} AS (\n  SELECT {feats}, {narrs} FROM cl{k} GROUP BY {feats}\n)"
+        )
+        fc_joins = "\n  ".join(
+            f"JOIN fcounts fc{j} ON fc{j}.feature = p.f{j}" for j in range(1, k + 1)
+        )
+        wprs = ",\n           ".join(_wpr_sql(j, k) for j in range(1, k + 1))
+        pfeats = ", ".join(f"p.f{j}" for j in range(1, k + 1))
+        ctes.append(
+            f"""wpi{k} AS (
+  SELECT {pfeats},
+         LEAST({wprs}) AS wpi
+  FROM part{k} p
+  {fc_joins}
+  CROSS JOIN delta_v d
+)"""
+        )
+        gate = f" AND EXISTS (SELECT 1 FROM prev{k - 1})" if k > 2 else ""
+        ctes.append(
+            f"prev{k} AS (\n  SELECT * FROM wpi{k} WHERE wpi >= {DEFAULT_MIN_PREV!r}{gate}\n)"
+        )
+    selects = []
+    for k in range(2, k_max + 1):
+        pat = " || ',' || ".join(f"f{j}" for j in range(1, k + 1))
+        selects.append(
+            f"SELECT {pat} AS pattern, {k} AS size, ROUND(wpi, 9) AS wpi FROM prev{k}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        f"WITH {_INSTANCES_CTE}, {_PAIRS_CTE}, {_STATS_CTE}, {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + body
+    )
+
+
 # ---------------------------------------------------------------- queries
 def _q_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return instances_from_events(spark, sf_dir)
@@ -619,6 +710,7 @@ wpi AS (
 )
 SELECT f1, f2, ROUND(wpi, 9) AS wpi FROM wpi WHERE wpi >= {MIN_PREV!r}
 """,
+        "colocation_mine_full": _mine_full_oracle_sql(),
         "images_derive": f"""
 WITH {_INSTANCES_CTE}
 SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 7 = 0
