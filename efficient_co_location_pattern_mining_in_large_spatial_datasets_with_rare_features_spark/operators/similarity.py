@@ -17,8 +17,11 @@ numbers, so they also agree bitwise.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 QUANT = 10_000
@@ -150,40 +153,98 @@ def lsh_topk(
     )
 
 
+def band_signatures(dim: int, r: int = 16, b: int = 64):
+    """Vectorized banded hyperplane signatures: ``array<float> ->
+    array<bigint>`` of length ``b`` (one packed r-bit signature per band).
+
+    Same banding construction as minhash-LSH (dedup.py): a pair is a
+    candidate iff it matches on ANY band.  Per-plane agreement for cosine s
+    is ``p = 1 - acos(s)/pi``; miss probability ``(1 - p^r)^b`` — at the
+    defaults (r=16, b=64): 0.4% at s=0.90, 3e-6 at s=0.95, while two random
+    vectors collide on a band with prob 2^-16, so expected candidates stay
+    ~n*b/2^16 per row instead of n.
+
+    All r*b plane dot products happen in ONE numpy matmul per Arrow batch —
+    a nested-lambda expression tree would re-evaluate the vector per plane
+    (no CSE) and is ~100x slower.
+    """
+    planes = np.array(
+        [_plane(p, dim) for p in range(r * b)], dtype=np.float64
+    )  # (r*b, dim)
+    weights = 1 << np.arange(r, dtype=np.int64)  # pack r bits per band
+
+    @pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim) float
+        q = np.round(m.astype(np.float64) * QUANT)  # quantized, matches _dot
+        bits = (q @ planes.T) >= 0  # (n, r*b)
+        packed = bits.reshape(len(m), b, r).astype(np.int64) @ weights  # (n, b)
+        return pd.Series(list(packed))
+
+    return _sigs
+
+
 def embedding_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    blocked: bool = False,
+    blocked: bool = True,
     dim: int = 64,
+    r: int = 16,
+    b: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by quantized cosine >= threshold (a_id < b_id).
 
-    ``blocked=True`` restricts candidates to shared LSH buckets (scale
-    path, approximate); default is the exact all-pairs contract.
+    Default path (``blocked=True``): banded hyperplane LSH candidate
+    generation + exact quantized-cosine verification.  The exploded
+    signature table carries only (id, band, sig) — never the vectors — so
+    the self-join shuffles skinny rows; vectors are fetched back by id for
+    the (rare) candidates only.  ``blocked=False`` is the exact all-pairs
+    baseline (O(n^2); small inputs / recall measurement only).
     """
-    sel = [F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")]
-    if blocked:
-        base = embeddings.withColumn(
-            "bucket", lsh_bucket(F.col(vec_col), dim)
-        ).select(*sel, "bucket")
-    else:
-        base = embeddings.select(*sel)
-    a = base.select(
-        F.col("id").alias("a_id"), F.col("v").alias("av"),
-        *([F.col("bucket")] if blocked else []),
-    )
-    b = base.select(
-        F.col("id").alias("b_id"), F.col("v").alias("bv"),
-        *([F.col("bucket")] if blocked else []),
-    )
-    joined = a.join(b, on="bucket") if blocked else a.crossJoin(b)
     cos = _dot(F.col("av"), F.col("bv")).cast("double") / (
         _norm(F.col("av")) * _norm(F.col("bv"))
     )
+    if not blocked:
+        a = embeddings.select(
+            F.col(id_col).alias("a_id"), quantize(F.col(vec_col)).alias("av")
+        )
+        bb = embeddings.select(
+            F.col(id_col).alias("b_id"), quantize(F.col(vec_col)).alias("bv")
+        )
+        return (
+            a.crossJoin(bb)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine")
+        )
+
+    sigs = band_signatures(dim, r, b)
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(sigs(F.col(vec_col)))
+    ).select("id", F.col("pos").alias("band"), F.col("col").alias("sig"))
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    av = embeddings.select(
+        F.col(id_col).alias("a_id"), quantize(F.col(vec_col)).alias("av")
+    )
+    bv = embeddings.select(
+        F.col(id_col).alias("b_id"), quantize(F.col(vec_col)).alias("bv")
+    )
     return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")

@@ -18,6 +18,7 @@ def point_in_polygon(
     points: DataFrame,
     polygons: DataFrame,
     blocked: bool = True,
+    cell_size: float | None = None,
 ) -> DataFrame:
     """(point id, poly_id) pairs where the point lies inside the polygon.
 
@@ -30,9 +31,15 @@ def point_in_polygon(
     crossing exceeds p.x.  Boundary points follow the classic half-open
     rule (deterministic, matches the SQL oracle exactly).
 
-    ``blocked=True`` prepends a bounding-box pre-filter — at scale this is
-    the join-pruning step (bbox can also be cell-binned for an equi-join;
-    the predicate itself is unchanged and exact either way).
+    ``blocked=True`` (default) bins polygons to the grid cells covering
+    their bounding box and equi-joins points on cell — a hash join whose
+    candidate count is bbox-local, never O(points x polygons).  A (point,
+    polygon) pair can meet in at most one cell (the point's), so no dedup
+    pass is needed.  ``cell_size`` defaults to the mean polygon bbox edge
+    (one tiny aggregate), making a typical polygon cover ~4 cells.
+    ``blocked=False`` is the exact all-pairs baseline for small inputs;
+    both paths apply the same bbox pre-filter and exact predicate, so the
+    output is identical either way.
     """
     n = F.size("xs")
     idx = F.sequence(F.lit(0), n - 1)
@@ -46,14 +53,41 @@ def point_in_polygon(
         return straddles & (F.col("x") < x_cross)
 
     crossings = F.size(F.filter(idx, crossing))
-    joined = points.crossJoin(polygons)
+    bbox = (
+        (F.col("x") >= F.array_min("xs"))
+        & (F.col("x") <= F.array_max("xs"))
+        & (F.col("y") >= F.array_min("ys"))
+        & (F.col("y") <= F.array_max("ys"))
+    )
     if blocked:
-        joined = joined.filter(
-            (F.col("x") >= F.array_min("xs"))
-            & (F.col("x") <= F.array_max("xs"))
-            & (F.col("y") >= F.array_min("ys"))
-            & (F.col("y") <= F.array_max("ys"))
+        if cell_size is None:
+            row = polygons.agg(
+                F.avg(F.array_max("xs") - F.array_min("xs")).alias("w"),
+                F.avg(F.array_max("ys") - F.array_min("ys")).alias("h"),
+            ).collect()[0]
+            cell_size = max(float(row["w"] or 1.0), float(row["h"] or 1.0), 1e-9)
+        cs = F.lit(float(cell_size))
+        pcells = polygons.withColumn(
+            "cell_x",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min("xs") / cs), F.floor(F.array_max("xs") / cs)
+                )
+            ),
+        ).withColumn(
+            "cell_y",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min("ys") / cs), F.floor(F.array_max("ys") / cs)
+                )
+            ),
         )
+        pts = points.withColumn("cell_x", F.floor(F.col("x") / cs)).withColumn(
+            "cell_y", F.floor(F.col("y") / cs)
+        )
+        joined = pts.join(pcells, ["cell_x", "cell_y"]).filter(bbox)
+    else:
+        joined = points.crossJoin(polygons).filter(bbox)
     return joined.filter(crossings % 2 == 1).select("id", "poly_id")
 
 

@@ -105,3 +105,25 @@ def test_knn_exclude_self(spark):
     q = spark.createDataFrame([("A1", 0.0, 0.0)], "qid string, x double, y double")
     got = [r.id for r in knn(inst, q, k=2, exclude_self=True).collect()]
     assert got == ["B1"]
+
+
+def test_pip_blocked_equals_exact_and_hash_join(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        point_in_polygon,
+        synth_polygons,
+    )
+
+    pts = spark.createDataFrame(
+        [(f"p{i}", float((i * 131) % 997), float((i * 577) % 991)) for i in range(400)],
+        "id string, x double, y double",
+    )
+    polys = synth_polygons(spark, 25)
+    exact = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys, blocked=False).collect()}
+    binned = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys, blocked=True).collect()}
+    fine = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys, cell_size=17.0).collect()}
+    assert binned == exact == fine
+    plan = (
+        point_in_polygon(pts, polys, blocked=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -127,3 +127,25 @@ def test_embedding_duplicates_blocked_is_subset(spark):
     exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8).collect()}
     blocked = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8, blocked=True).collect()}
     assert blocked <= exact
+
+
+def test_embedding_duplicates_banded_finds_planted_dupes(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # plant near-duplicates: tiny perturbations of rows 0..4 (cosine ~0.999)
+    for j in range(5):
+        v = base[j] + rng.normal(scale=0.01, size=64).astype(np.float32)
+        rows.append((100 + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(
+        df, threshold=0.95, blocked=False).collect()}
+    blocked = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(
+        df, threshold=0.95, blocked=True).collect()}
+    assert {(j, 100 + j) for j in range(5)} <= exact
+    assert blocked == exact  # miss prob ~3e-6 at s=0.95
+    # the blocked plan must not contain a cartesian/nested-loop join
+    plan = similarity.embedding_duplicates(df, threshold=0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
