@@ -501,6 +501,88 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming availableNow backfill over the static events
+    table: windowed per-cell counts must equal the equivalent batch/SQL
+    aggregation (streaming/tile_stream.py contract)."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+        X_SQL,
+        Y_SQL,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+        streaming_tile_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "ts",
+        F.col("event_type").alias("feature"),
+        F.expr(X_SQL).alias("x"),
+        F.expr(Y_SQL).alias("y"),
+    )
+    grid = compute_bounds(instances_from_events(spark, sf_dir), D)
+    tmp = tempfile.mkdtemp(prefix="tile_stream_src_")
+    src.write.mode("overwrite").parquet(tmp)
+    name = f"tile_stream_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_tile_counts(
+        spark, tmp, grid, window="1 hour", watermark="2 hours"
+    )
+    run_available_now(sdf, tempfile.mkdtemp(prefix="tile_stream_ck_"), name)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "cell_x",
+        "cell_y",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> per-channel means + luma histogram over the synthesized
+    image table (mapInPandas, fake codec — rows-only check by design)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.multimodal import (
+        image_features,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.image_table import (
+        synthesize_image_table,
+    )
+
+    inst = instances_from_events(spark, sf_dir).filter(
+        F.expr("CAST(split(id, '#')[1] AS BIGINT) % 29 = 0")
+    )
+    feats = image_features(synthesize_image_table(inst))
+    return feats.select(
+        "image_id",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"),
+        F.round(F.element_at("luma_hist", 1), 9).alias("luma_bin0"),
+    )
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over deterministic fake videos (mapInPandas demux —
+    rows-only check by design)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.multimodal import (
+        sample_frames,
+        synth_video_bytes,
+    )
+
+    vids = spark.createDataFrame(
+        [(f"v{i}", synth_video_bytes(f"v{i}", n_frames=6)) for i in range(48)],
+        "video_id string, bytes binary",
+    ).repartition(8)
+    frames = sample_frames(vids, every=2)
+    return frames.select(
+        "video_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "instances_derive": _q_instances,
@@ -528,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": _q_point_in_polygon,
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
+        "tile_stream_backfill": _q_tile_stream_backfill,
+        "image_features": _q_image_features,
+        "video_frame_sample": _q_video_frames,
     }
 
 
@@ -857,5 +942,14 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY 1, 2
+""",
+        # availableNow streaming backfill == the batch windowed aggregation
+        # (same instances -> same grid cells; 1-hour tumbling windows)
+        "tile_stream_backfill": f"""
+WITH {_INSTANCES_CTE.replace("SELECT event_type AS feature", "SELECT ts, event_type AS feature")}, {_CELLS_CTE}
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+       cell_x, cell_y, COUNT(*) AS n
+FROM cells
+GROUP BY 1, 2, 3
 """,
     }
