@@ -74,7 +74,7 @@ def run_one(cpus: int) -> dict:
     inst = build_instances(spark, REP).persist()
     n = inst.count()
     t0 = time.time()
-    res = eng.ColocationMiner(
+    miner = eng.ColocationMiner(
         spark,
         eng.ColocationConfig(
             D,
@@ -84,7 +84,11 @@ def run_one(cpus: int) -> dict:
             # occupancy pre-scan would be a pure extra barrier here
             salt_threshold=None,
         ),
-    ).mine(inst)
+    )
+    if os.environ.get("SPARK_GRAFT_SCALE_PLAN") == "subtree":
+        res = miner.mine_subtrees(inst)
+    else:
+        res = miner.mine(inst)
     wall = time.time() - t0
     out = {
         "cpus": cpus,

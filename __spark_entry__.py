@@ -372,6 +372,20 @@ def _q_mine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
 
 
+def _q_mine_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm-3 per-subtree physical plan — identical output contract to
+    colocation_mine_full (checked against the same brute-force SQL oracle)."""
+    inst = instances_from_events(spark, sf_dir)
+    res = eng.ColocationMiner(
+        spark, eng.ColocationConfig(D, MIN_PREV)
+    ).mine_subtrees(inst)
+    rows = [
+        (",".join(p), len(p), round(res.wpi[p], 9))
+        for p in sorted(res.patterns, key=lambda p: (len(p), p))
+    ]
+    return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
+
+
 def _q_images_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.image_table import (
         derive_instances,
@@ -595,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_edges": _q_star_edges,
         "prevalent_k2": _q_prevalent_k2,
         "colocation_mine_full": _q_mine_full,
+        "colocation_mine_subtree": _q_mine_subtree,
         "images_derive": _q_images_derive,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -796,6 +811,7 @@ wpi AS (
 SELECT f1, f2, ROUND(wpi, 9) AS wpi FROM wpi WHERE wpi >= {MIN_PREV!r}
 """,
         "colocation_mine_full": _mine_full_oracle_sql(),
+        "colocation_mine_subtree": _mine_full_oracle_sql(),
         "images_derive": f"""
 WITH {_INSTANCES_CTE}
 SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 7 = 0

@@ -96,10 +96,20 @@ def main() -> None:
         lambda: dedup.ngram_jaccard_duplicates(docs, threshold=0.8).count(),
     )
     timed("dedup_simhash", lambda: dedup.simhash_duplicates(docs).count())
-    timed(
+    exact_topk = timed(
         "ann_cosine_topk",
-        lambda: similarity.cosine_topk(emb, list(range(8)), k=5).count(),
+        lambda: similarity.cosine_topk(emb, list(range(8)), k=5).collect(),
     )
+    approx_topk = timed(
+        "ann_lsh_topk",
+        lambda: similarity.lsh_topk(emb, list(range(8)), k=5).collect(),
+    )
+    # measured recall of the approximate path vs the exact baseline — the
+    # LSH path's quality is tracked per bench run, not assumed
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact_topk}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx_topk}
+    ann_recall = round(len(exact_set & approx_set) / max(len(exact_set), 1), 3)
+    print(f"[bench] ann_lsh_topk recall vs exact: {ann_recall}", file=sys.stderr)
     timed(
         "embedding_dupes_lsh",
         lambda: similarity.embedding_duplicates(
@@ -125,6 +135,7 @@ def main() -> None:
                 "pairs": res.pair_count,
                 "patterns": len(res.patterns),
                 "throughput_rows_per_sec": round(n_instances / flagship, 1),
+                "ann_lsh_recall": ann_recall,
                 "d": BENCH_D,
                 "min_prev": BENCH_MIN_PREV,
             }

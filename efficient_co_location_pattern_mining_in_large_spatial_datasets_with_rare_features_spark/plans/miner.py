@@ -78,6 +78,7 @@ def filter_candidates(
     counts: Mapping[str, int],
     delta_value: float,
     min_prev: float,
+    use_lemma3: bool = True,
 ) -> list[Pattern]:
     """Lemma-2 + Lemma-3 pruning (reference src/miner.cpp:152-215).
 
@@ -89,6 +90,10 @@ def filter_candidates(
     - Lemma 3 (upper bound, :188-208): for the subset that drops f_min,
       ``PI(c[1:]) * w(f_max, C) >= min_prev`` must hold; a subset missing
       from the previous level's tables contributes PI = 0 and prunes.
+
+    ``use_lemma3=False`` is the per-subtree mode (paper Algorithm 3 /
+    Lemma 6): the subset dropping f_min lives in a *different* subtree, so
+    its PI is unavailable there and the Lemma-3 bound cannot be applied.
     """
     kept = []
     for c in candidates:
@@ -98,6 +103,9 @@ def filter_candidates(
             if sub not in prevalent_prev:
                 ok = False
                 break
+        if ok and not use_lemma3:
+            kept.append(c)
+            continue
         if ok:
             sub0 = c[1:]
             pi_val = pi_prev.get(sub0, 0.0)
@@ -126,6 +134,7 @@ class LevelStats:
     n_prevalent: int
     table_rows: int
     seconds: float
+    subtree: str | None = None
 
 
 @dataclass
@@ -263,10 +272,13 @@ class ColocationMiner:
         spark = self.spark
         prev_index = {c: i for i, c in enumerate(filtered_prev)}
         cand_df = spark.createDataFrame(
-            [(prev_index[c[:-1]], c[-1], pid) for pid, c in enumerate(candidates)],
-            "prefix_pid int, f_new string, pid int",
+            [
+                (prev_index[c[:-1]], self._rank[c[-1]], pid)
+                for pid, c in enumerate(candidates)
+            ],
+            "prefix_pid int, f_new int, pid int",
         )
-        new_features = sorted({c[-1] for c in candidates})
+        new_features = sorted({self._rank[c[-1]] for c in candidates})
         edges_k = edges.filter(F.col("nbr_feature").isin(new_features))
 
         base = t_prev.join(
@@ -353,6 +365,7 @@ class ColocationMiner:
         )
         counts = {r["feature"]: r["cnt"] for r in stats_rows}
         rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
+        self._rank = rank
         delta_value = measures.delta(counts)
 
         # pairs -> edges is one linear pipeline; only the edges need to be
@@ -367,13 +380,22 @@ class ColocationMiner:
         encode_ids = all(r["n_ids"] == r["n_hashed"] for r in stats_rows)
 
         edges = star_edges(self.build_pairs(instances), counts)
-        if encode_ids:
-            edges = edges.select(
-                "center_feature",
-                F.xxhash64("center_id").alias("center_id"),
-                "nbr_feature",
-                F.xxhash64("nbr_id").alias("nbr_id"),
-            )
+        # Features ride every edge row through the persisted table and the
+        # per-level joins — encode them to their (tiny-int) canonical rank so
+        # no shuffle ever moves feature strings (strings live driver-side).
+        rank_expr = (
+            F.create_map(*[F.lit(x) for kv in rank.items() for x in kv])
+            if rank
+            else F.create_map()
+        )
+        edges = edges.select(
+            rank_expr[F.col("center_feature")].cast("int").alias("center_feature"),
+            (
+                F.xxhash64("center_id") if encode_ids else F.col("center_id")
+            ).alias("center_id"),
+            rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
+            (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
+        )
         if cfg.persist_intermediates:
             edges = edges.persist()
         pair_count = 0
@@ -440,8 +462,8 @@ class ColocationMiner:
                 ]
                 filtered = candidates
                 pid_map = spark.createDataFrame(
-                    [(c[0], c[1], pid) for pid, c in enumerate(filtered)],
-                    "center_feature string, nbr_feature string, pid int",
+                    [(rank[c[0]], rank[c[1]], pid) for pid, c in enumerate(filtered)],
+                    "center_feature int, nbr_feature int, pid int",
                 )
                 t_k = edges.join(
                     F.broadcast(pid_map), ["center_feature", "nbr_feature"]
@@ -454,7 +476,7 @@ class ColocationMiner:
                 # counts need no posexplode pass over a materialized T_2.
                 part = {}
                 rows_by_pid = {}
-                pid_of = {c: pid for pid, c in enumerate(filtered)}
+                pid_of = {(rank[c[0]], rank[c[1]]): pid for pid, c in enumerate(filtered)}
                 for r in (
                     edges.groupBy("center_feature", "nbr_feature")
                     .agg(
@@ -488,8 +510,16 @@ class ColocationMiner:
             # localCheckpoint also persists the level's rows for the next join.
             # T_2 is exempt: it is a pure projection of the persisted edges,
             # so materializing it would double-store the biggest table.
+            # The FINAL level is also exempt: no level k+1 will read it, so
+            # participation aggregates straight off the fused join pipeline
+            # (partial agg before the shuffle) instead of materializing the
+            # biggest table once to storage and scanning it again.
+            is_final = (
+                cfg.max_pattern_size is not None and k >= cfg.max_pattern_size
+            ) or k >= len(counts)
             if k > 2:
-                t_k = t_k.localCheckpoint(eager=True)
+                if not is_final or self.config.checkpoint_dir:
+                    t_k = t_k.localCheckpoint(eager=True)
                 part, rows_by_pid = self._participation(t_k)
             table_rows = sum(rows_by_pid.values())
             if k == 2:
@@ -531,4 +561,179 @@ class ColocationMiner:
             delta=delta_value,
             pair_count=pair_count,
             levels=levels,
+        )
+
+    # ---------------------------------------------------- subtree variant
+    def mine_subtrees(self, instances: DataFrame, max_workers: int = 8) -> MiningResult:
+        """Paper Algorithm-3 physical plan (§5.2): partition mining by the
+        pattern's rarest feature.
+
+        Lemma 5: a pattern's canonical first feature determines its subtree,
+        so per-subtree results are disjoint and the union needs no dedup.
+        Per subtree only Lemma 2 applies (the subset dropping f_min belongs
+        to another subtree — Lemma 3's PI lookup is unavailable; Lemma 6 is
+        its per-subtree replacement and is subsumed here by computing WPI
+        exactly).  Output is identical to ``mine()``: prevalence is
+        intrinsic (WPI >= min_prev over the same cliques) and Lemma 2 makes
+        the per-subtree stopping rule equivalent to the global one.
+
+        Physically: subtrees share one persisted edge table and one global
+        level-2 stats job, then run their level loops CONCURRENTLY from a
+        thread pool — per-level driver barriers of different subtrees
+        overlap, so executors stay busy where the level-wise plan would
+        idle at each collect.  Opt-in alternative plan; no checkpoint/resume
+        support (use ``mine()`` for that).
+        """
+        cfg = self.config
+        spark = self.spark
+
+        stats_rows = (
+            instances.groupBy("feature")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.countDistinct("id").alias("n_ids"),
+                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
+            )
+            .collect()
+        )
+        counts = {r["feature"]: r["cnt"] for r in stats_rows}
+        rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
+        self._rank = rank
+        delta_value = measures.delta(counts)
+        encode_ids = all(r["n_ids"] == r["n_hashed"] for r in stats_rows)
+        ranked = measures.rank_features(counts)
+
+        edges = star_edges(self.build_pairs(instances), counts)
+        rank_expr = (
+            F.create_map(*[F.lit(x) for kv in rank.items() for x in kv])
+            if rank
+            else F.create_map()
+        )
+        edges = edges.select(
+            rank_expr[F.col("center_feature")].cast("int").alias("center_feature"),
+            (
+                F.xxhash64("center_id") if encode_ids else F.col("center_id")
+            ).alias("center_id"),
+            rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
+            (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
+        ).persist()
+
+        # One global job covers every subtree's level-2 participation.
+        k2_rows = (
+            edges.groupBy("center_feature", "nbr_feature")
+            .agg(
+                F.countDistinct("center_id").alias("n0"),
+                F.countDistinct("nbr_id").alias("n1"),
+                F.count("*").alias("rows"),
+            )
+            .collect()
+        )
+        k2 = {(r["center_feature"], r["nbr_feature"]): r for r in k2_rows}
+        pair_count = sum(r["rows"] for r in k2_rows)
+
+        def run_subtree(f: str) -> tuple[list[Pattern], dict[Pattern, float], list[LevelStats]]:
+            root = rank[f]
+            patterns: list[Pattern] = []
+            wpi_all: dict[Pattern, float] = {}
+            levels: list[LevelStats] = []
+
+            t0 = time.time()
+            filtered: list[Pattern] = [
+                (f, g) for g in ranked if rank[g] > root
+            ]
+            if not filtered:
+                return patterns, wpi_all, levels
+            part: dict[int, dict[int, int]] = {}
+            rows_by_pid: dict[int, int] = {}
+            for pid, c in enumerate(filtered):
+                r = k2.get((rank[c[0]], rank[c[1]]))
+                if r is not None:
+                    part[pid] = {0: r["n0"], 1: r["n1"]}
+                    rows_by_pid[pid] = r["rows"]
+            prevalent, pi_map, wpi_map = self._select_prevalent(
+                filtered, part, counts, delta_value
+            )
+            pid_map = spark.createDataFrame(
+                [(rank[c[0]], rank[c[1]], pid) for pid, c in enumerate(filtered)],
+                "center_feature int, nbr_feature int, pid int",
+            )
+            t_prev = edges.join(
+                F.broadcast(pid_map), ["center_feature", "nbr_feature"]
+            ).select(
+                "pid",
+                F.array(F.col("center_id"), F.col("nbr_id")).alias("inst"),
+            )
+            patterns.extend(prevalent)
+            for c in prevalent:
+                wpi_all[c] = wpi_map[c]
+            levels.append(
+                LevelStats(
+                    2, len(filtered), len(filtered), len(prevalent),
+                    sum(rows_by_pid.values()), time.time() - t0, f,
+                )
+            )
+
+            prevalent_prev, filtered_prev = prevalent, filtered
+            k = 3
+            checkpointed: DataFrame | None = None
+            while prevalent_prev and k <= len(counts) and (
+                cfg.max_pattern_size is None or k <= cfg.max_pattern_size
+            ):
+                t0 = time.time()
+                candidates = generate_candidates(prevalent_prev, rank)
+                filtered = filter_candidates(
+                    candidates, set(prevalent_prev), {}, counts,
+                    delta_value, cfg.min_prevalence, use_lemma3=False,
+                )
+                if not filtered:
+                    break
+                t_k = self._table_k(t_prev, edges, filtered, filtered_prev, k)
+                is_final = (
+                    cfg.max_pattern_size is not None and k >= cfg.max_pattern_size
+                ) or k >= len(counts)
+                if not is_final:
+                    t_k = t_k.localCheckpoint(eager=True)
+                part, rows_by_pid = self._participation(t_k)
+                prevalent, pi_map, wpi_map = self._select_prevalent(
+                    filtered, part, counts, delta_value
+                )
+                patterns.extend(prevalent)
+                for c in prevalent:
+                    wpi_all[c] = wpi_map[c]
+                levels.append(
+                    LevelStats(
+                        k, len(candidates), len(filtered), len(prevalent),
+                        sum(rows_by_pid.values()), time.time() - t0, f,
+                    )
+                )
+                if checkpointed is not None:
+                    checkpointed.unpersist()
+                checkpointed = t_k if not is_final else None
+                t_prev = t_k
+                prevalent_prev, filtered_prev = prevalent, filtered
+                k += 1
+            if checkpointed is not None:
+                checkpointed.unpersist()
+            return patterns, wpi_all, levels
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            results = list(ex.map(run_subtree, ranked))
+        edges.unpersist()
+
+        all_patterns: list[Pattern] = []
+        all_wpi: dict[Pattern, float] = {}
+        all_levels: list[LevelStats] = []
+        for pats, wmap, lvls in results:
+            all_patterns.extend(pats)
+            all_wpi.update(wmap)
+            all_levels.extend(lvls)
+        return MiningResult(
+            patterns=all_patterns,
+            wpi=all_wpi,
+            counts=counts,
+            delta=delta_value,
+            pair_count=pair_count,
+            levels=all_levels,
         )

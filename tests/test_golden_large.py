@@ -41,3 +41,18 @@ def test_50k_golden(spark):
     assert abs(res.delta - 1.10577) < 1e-4
     assert len(res.patterns) == 48
     assert all(len(p) == 2 for p in res.patterns)
+
+
+def test_lasvegas_subtree_plan_golden(spark):
+    """Algorithm-3 per-subtree plan must reproduce the exact pattern set."""
+    inst = load_instances_csv(
+        spark, f"{REFDATA}/LasVegas_x_y_alphabet_version_03_2.csv"
+    ).persist()
+    res = eng.ColocationMiner(
+        spark, eng.ColocationConfig(160.0, 0.15)
+    ).mine_subtrees(inst)
+    inst.unpersist()
+    assert res.pair_count == 182_738
+    by_size = {k: len(v) for k, v in res.by_size().items()}
+    assert by_size == {2: 120, 3: 222, 4: 136, 5: 34, 6: 1}
+    assert len(res.patterns) == 513

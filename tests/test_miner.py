@@ -112,3 +112,13 @@ def test_max_pattern_size_cap(spark, sample_instances):
     assert {frozenset(p) for p in res.patterns} == {
         p for p in GOLD_SAMPLE if len(p) == 2
     }
+
+
+def test_subtree_plan_matches_levelwise_sample(spark, sample_instances):
+    cfg = eng.ColocationConfig(5.0, 0.6)
+    res_lw = eng.ColocationMiner(spark, cfg).mine(sample_instances)
+    res_st = eng.ColocationMiner(spark, cfg).mine_subtrees(sample_instances)
+    assert sorted(res_st.patterns) == sorted(res_lw.patterns)
+    assert res_st.pair_count == res_lw.pair_count
+    for p in res_lw.patterns:
+        assert abs(res_st.wpi[p] - res_lw.wpi[p]) < 1e-12
