@@ -110,19 +110,27 @@ def main() -> None:
         return
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     results = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=3600,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(json.dumps(results[cpus]), flush=True)
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3600,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            run = json.loads(line)
+            print(json.dumps(run), flush=True)
+            # best-of-N: single-machine runs carry ±10% JIT/cache/thermal
+            # noise; the minimum is the reproducible figure
+            if best is None or run["wall_sec"] < best["wall_sec"]:
+                best = run
+        results[cpus] = best
     t_lo, t_hi = results[lo]["wall_sec"], results[hi]["wall_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     summary = {

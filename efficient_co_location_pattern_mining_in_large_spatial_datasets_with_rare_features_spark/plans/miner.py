@@ -239,6 +239,50 @@ class ColocationMiner:
         return out
 
     # ---------------------------------------------------------------- plan
+    def _stats(self, instances: DataFrame):
+        """One stats job: per-feature histogram + the id-hash injectivity
+        check.  Instance ids are xxhash64-encoded to int64 for every mining
+        table (level tables shuffle arrays of longs instead of strings, ~4x
+        smaller rows); encoding is safe iff hashing is injective per feature
+        (participation counts are per-feature, so cross-feature collisions
+        are harmless).  ``countDistinct(hash) == count(*)`` proves it with a
+        single distinct aggregate — duplicated input ids fail the check too,
+        which merely falls back to exact string ids (slower, still correct).
+        On a true collision (2^-64-scale probability per pair) the same
+        fallback applies."""
+        stats_rows = (
+            instances.groupBy("feature")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
+            )
+            .collect()
+        )
+        counts = {r["feature"]: r["cnt"] for r in stats_rows}
+        rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
+        self._rank = rank
+        delta_value = measures.delta(counts)
+        encode_ids = all(r["n_hashed"] == r["cnt"] for r in stats_rows)
+        return counts, rank, delta_value, encode_ids
+
+    def _encoded_edges(self, instances: DataFrame, counts, rank, encode_ids):
+        """Star edges with features as canonical-rank ints (no shuffle ever
+        moves feature strings) and ids xxhash64-encoded when injective."""
+        edges = star_edges(self.build_pairs(instances), counts)
+        rank_expr = (
+            F.create_map(*[F.lit(x) for kv in rank.items() for x in kv])
+            if rank
+            else F.create_map()
+        )
+        return edges.select(
+            rank_expr[F.col("center_feature")].cast("int").alias("center_feature"),
+            (
+                F.xxhash64("center_id") if encode_ids else F.col("center_id")
+            ).alias("center_id"),
+            rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
+            (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
+        )
+
     def build_pairs(self, instances: DataFrame) -> DataFrame:
         cfg = self.config
         return neighbor_pairs(
@@ -350,52 +394,12 @@ class ColocationMiner:
         cfg = self.config
         spark = self.spark
 
-        # One stats job: per-feature histogram + the id-hash injectivity
-        # check (participation counts are per-feature, so only intra-feature
-        # hash collisions could corrupt a distinct-count — cross-feature
-        # collisions are harmless).
-        stats_rows = (
-            instances.groupBy("feature")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.countDistinct("id").alias("n_ids"),
-                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
-            )
-            .collect()
-        )
-        counts = {r["feature"]: r["cnt"] for r in stats_rows}
-        rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
-        self._rank = rank
-        delta_value = measures.delta(counts)
+        counts, rank, delta_value, encode_ids = self._stats(instances)
 
         # pairs -> edges is one linear pipeline; only the edges need to be
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
         # count jobs over pairs or edges).
-        #
-        # Instance ids are xxhash64-encoded to int64 for every mining table:
-        # the level tables shuffle arrays of longs instead of strings (~4x
-        # smaller rows, cheaper grouping).  Exactness is verified above; on
-        # a collision (2^-64-scale probability per pair; use a dictionary
-        # join if it ever fires at 10^12 rows) we fall back to string ids.
-        encode_ids = all(r["n_ids"] == r["n_hashed"] for r in stats_rows)
-
-        edges = star_edges(self.build_pairs(instances), counts)
-        # Features ride every edge row through the persisted table and the
-        # per-level joins — encode them to their (tiny-int) canonical rank so
-        # no shuffle ever moves feature strings (strings live driver-side).
-        rank_expr = (
-            F.create_map(*[F.lit(x) for kv in rank.items() for x in kv])
-            if rank
-            else F.create_map()
-        )
-        edges = edges.select(
-            rank_expr[F.col("center_feature")].cast("int").alias("center_feature"),
-            (
-                F.xxhash64("center_id") if encode_ids else F.col("center_id")
-            ).alias("center_id"),
-            rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
-            (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
-        )
+        edges = self._encoded_edges(instances, counts, rank, encode_ids)
         if cfg.persist_intermediates:
             edges = edges.persist()
         pair_count = 0
@@ -587,36 +591,9 @@ class ColocationMiner:
         cfg = self.config
         spark = self.spark
 
-        stats_rows = (
-            instances.groupBy("feature")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.countDistinct("id").alias("n_ids"),
-                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
-            )
-            .collect()
-        )
-        counts = {r["feature"]: r["cnt"] for r in stats_rows}
-        rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
-        self._rank = rank
-        delta_value = measures.delta(counts)
-        encode_ids = all(r["n_ids"] == r["n_hashed"] for r in stats_rows)
+        counts, rank, delta_value, encode_ids = self._stats(instances)
         ranked = measures.rank_features(counts)
-
-        edges = star_edges(self.build_pairs(instances), counts)
-        rank_expr = (
-            F.create_map(*[F.lit(x) for kv in rank.items() for x in kv])
-            if rank
-            else F.create_map()
-        )
-        edges = edges.select(
-            rank_expr[F.col("center_feature")].cast("int").alias("center_feature"),
-            (
-                F.xxhash64("center_id") if encode_ids else F.col("center_id")
-            ).alias("center_id"),
-            rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
-            (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
-        ).persist()
+        edges = self._encoded_edges(instances, counts, rank, encode_ids).persist()
 
         # One global job covers every subtree's level-2 participation.
         k2_rows = (
