@@ -239,31 +239,63 @@ class ColocationMiner:
         return out
 
     # ---------------------------------------------------------------- plan
-    def _stats(self, instances: DataFrame):
-        """One stats job: per-feature histogram + the id-hash injectivity
-        check.  Instance ids are xxhash64-encoded to int64 for every mining
-        table (level tables shuffle arrays of longs instead of strings, ~4x
+    def _stats(self, instances: DataFrame, check_hashes: bool = True):
+        """Stats job (per-feature histogram -> rank/delta) plus an
+        OPTIMISTIC id-hash injectivity check.
+
+        Instance ids are xxhash64-encoded to int64 for every mining table
+        (level tables shuffle arrays of longs instead of strings, ~4x
         smaller rows); encoding is safe iff hashing is injective per feature
         (participation counts are per-feature, so cross-feature collisions
-        are harmless).  ``countDistinct(hash) == count(*)`` proves it with a
-        single distinct aggregate — duplicated input ids fail the check too,
-        which merely falls back to exact string ids (slower, still correct).
-        On a true collision (2^-64-scale probability per pair) the same
-        fallback applies."""
+        are harmless).  A collision has 2^-64-scale probability per pair, so
+        the check — ``countDistinct(hash) == count(*)`` per feature, which
+        duplicated input ids also fail, falling back to exact string ids —
+        runs on a BACKGROUND thread off the critical path; ``mine()`` joins
+        it before returning and raises IdHashCollision on the (practically
+        never taken) unlucky branch so the caller reruns with
+        ``encode_ids=False``.  The blocking stats job itself is a cheap
+        count-only aggregate."""
+        import threading
+
         stats_rows = (
-            instances.groupBy("feature")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
-            )
-            .collect()
+            instances.groupBy("feature").agg(F.count("*").alias("cnt")).collect()
         )
         counts = {r["feature"]: r["cnt"] for r in stats_rows}
         rank = {f: i for i, f in enumerate(measures.rank_features(counts))}
         self._rank = rank
         delta_value = measures.delta(counts)
-        encode_ids = all(r["n_hashed"] == r["cnt"] for r in stats_rows)
-        return counts, rank, delta_value, encode_ids
+
+        if not check_hashes:
+            return counts, rank, delta_value, lambda: True
+
+        check: dict[str, object] = {"ok": True, "err": None}
+
+        def _verify():
+            try:
+                bad = (
+                    instances.groupBy("feature")
+                    .agg(
+                        F.count("*").alias("cnt"),
+                        F.countDistinct(F.xxhash64("id")).alias("n_hashed"),
+                    )
+                    .filter(F.col("n_hashed") != F.col("cnt"))
+                    .limit(1)
+                    .collect()
+                )
+                check["ok"] = not bad
+            except Exception as e:  # surface check failures, never swallow
+                check["err"] = e
+
+        t = threading.Thread(target=_verify, daemon=True)
+        t.start()
+
+        def join_check() -> bool:
+            t.join()
+            if check["err"] is not None:
+                raise check["err"]
+            return bool(check["ok"])
+
+        return counts, rank, delta_value, join_check
 
     def _encoded_edges(self, instances: DataFrame, counts, rank, encode_ids):
         """Star edges with features as canonical-rank ints (no shuffle ever
@@ -390,11 +422,16 @@ class ColocationMiner:
         return prevalent, pi_map, wpi_map
 
     # ---------------------------------------------------------------- mine
-    def mine(self, instances: DataFrame, resume: bool = False) -> MiningResult:
+    def mine(
+        self, instances: DataFrame, resume: bool = False, _encode: bool = True
+    ) -> MiningResult:
         cfg = self.config
         spark = self.spark
 
-        counts, rank, delta_value, encode_ids = self._stats(instances)
+        counts, rank, delta_value, join_check = self._stats(
+            instances, check_hashes=_encode
+        )
+        encode_ids = _encode
 
         # pairs -> edges is one linear pipeline; only the edges need to be
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
@@ -558,6 +595,11 @@ class ColocationMiner:
         if cfg.persist_intermediates:
             edges.unpersist()
 
+        # Join the optimistic injectivity check: on the ~2^-64-probability
+        # unlucky branch, rebuild everything with exact string ids.
+        if _encode and not join_check():
+            return self.mine(instances, resume=resume, _encode=False)
+
         return MiningResult(
             patterns=all_patterns,
             wpi=all_wpi,
@@ -568,7 +610,9 @@ class ColocationMiner:
         )
 
     # ---------------------------------------------------- subtree variant
-    def mine_subtrees(self, instances: DataFrame, max_workers: int = 8) -> MiningResult:
+    def mine_subtrees(
+        self, instances: DataFrame, max_workers: int = 8, _encode: bool = True
+    ) -> MiningResult:
         """Paper Algorithm-3 physical plan (§5.2): partition mining by the
         pattern's rarest feature.
 
@@ -591,9 +635,11 @@ class ColocationMiner:
         cfg = self.config
         spark = self.spark
 
-        counts, rank, delta_value, encode_ids = self._stats(instances)
+        counts, rank, delta_value, join_check = self._stats(
+            instances, check_hashes=_encode
+        )
         ranked = measures.rank_features(counts)
-        edges = self._encoded_edges(instances, counts, rank, encode_ids).persist()
+        edges = self._encoded_edges(instances, counts, rank, _encode).persist()
 
         # One global job covers every subtree's level-2 participation.
         k2_rows = (
@@ -698,6 +744,11 @@ class ColocationMiner:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             results = list(ex.map(run_subtree, ranked))
         edges.unpersist()
+
+        if _encode and not join_check():
+            return self.mine_subtrees(
+                instances, max_workers=max_workers, _encode=False
+            )
 
         all_patterns: list[Pattern] = []
         all_wpi: dict[Pattern, float] = {}

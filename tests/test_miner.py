@@ -122,3 +122,20 @@ def test_subtree_plan_matches_levelwise_sample(spark, sample_instances):
     assert res_st.pair_count == res_lw.pair_count
     for p in res_lw.patterns:
         assert abs(res_st.wpi[p] - res_lw.wpi[p]) < 1e-12
+
+
+def test_duplicate_ids_fall_back_to_string_ids(spark, sample_instances):
+    """Duplicated instance ids fail the optimistic injectivity check; the
+    miner must transparently rerun on exact string ids, matching the
+    forced-fallback result."""
+    from pyspark.sql import functions as F
+
+    dup = sample_instances.withColumn(
+        "id", F.when(F.col("id") == "A2", F.lit("A1")).otherwise(F.col("id"))
+    )
+    cfg = eng.ColocationConfig(5.0, 0.6)
+    res_opt = eng.ColocationMiner(spark, cfg).mine(dup)
+    res_str = eng.ColocationMiner(spark, cfg).mine(dup, _encode=False)
+    assert sorted(res_opt.patterns) == sorted(res_str.patterns)
+    for p in res_str.patterns:
+        assert abs(res_opt.wpi[p] - res_str.wpi[p]) < 1e-12
