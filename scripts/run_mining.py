@@ -27,6 +27,10 @@ import os
 import sys
 import time
 
+# location-proof import: under spark-submit the engine arrives via
+# --py-files; run standalone, the package sits next to scripts/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -43,6 +47,13 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--adaptive-cell-split", action="store_true")
     ap.add_argument("--tiles", action="store_true", help="also write per-cell tile counts")
+    ap.add_argument(
+        "--plan",
+        choices=["levelwise", "subtree"],
+        default="levelwise",
+        help="physical mining plan: level-wise (checkpoint/resume capable) "
+        "or Algorithm-3 per-subtree (concurrent feature-rooted loops)",
+    )
     args = ap.parse_args()
 
     # under spark-submit the session already exists; standalone it is built
@@ -92,7 +103,11 @@ def main() -> None:
     instances = instances.persist()
     n_instances = instances.count()
     t0 = time.time()
-    res = eng.ColocationMiner(spark, cfg).mine(instances, resume=args.resume)
+    miner = eng.ColocationMiner(spark, cfg)
+    if args.plan == "subtree":
+        res = miner.mine_subtrees(instances)
+    else:
+        res = miner.mine(instances, resume=args.resume)
     wall = time.time() - t0
 
     os.makedirs(args.output, exist_ok=True)
@@ -105,17 +120,37 @@ def main() -> None:
             os.path.join(args.output, "tiles.parquet")
         )
 
+    # Report layout mirrors the reference's results.txt field-for-field
+    # (src/main.cpp:88-122: header, dataset/config echo, execution time at
+    # 3 dp, peak memory, pattern count, numbered "[i] {A, B}" list).  Peak
+    # memory is the driver's peak RSS (the reference reports the Windows
+    # PeakWorkingSetSize; ru_maxrss is the Linux equivalent).
+    import resource
+
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     rank = feature_rank(res.counts)
     rendered = res.render(rank)
     with open(os.path.join(args.output, "results.txt"), "w") as f:
-        f.write("Co-location mining report\n")
-        f.write(f"input={args.input}\nneighbor_distance={args.distance}\n")
-        f.write(f"min_prevalence={args.min_prevalence}\n")
-        f.write(f"instances={n_instances}\nneighbor_pairs={res.pair_count}\n")
-        f.write(f"delta={res.delta:.5f}\nwall_seconds={wall:.3f}\n")
-        f.write(f"prevalent_patterns={len(rendered)}\n")
-        for i, p in enumerate(rendered, 1):
-            f.write(f"{i}: {p}\n")
+        f.write("=== FINAL REPORT ===\n")
+        f.write(f"Dataset Path:      {args.input}\n")
+        f.write(f"Total Instances:   {n_instances}\n")
+        f.write(f"Neighbor Distance: {args.distance}\n")
+        f.write(f"Min Prevalence:    {args.min_prevalence}\n")
+        f.write("----------------------------------------\n")
+        f.write(f"Execution Time: {wall:.3f} s\n")
+        f.write(f"Peak Memory Usage: {peak_mb} MB\n")
+        f.write(f"Patterns Found: {len(rendered)}\n")
+        f.write("----------------------------------------\n")
+        if rendered:
+            for i, p in enumerate(rendered, 1):
+                f.write(f"[{i}] {p}\n")
+        else:
+            f.write("No patterns found.\n")
+        # engine-side extras the reference does not have (kept below the
+        # reference-parity block so diffs against results.txt stay aligned)
+        f.write("----------------------------------------\n")
+        f.write(f"neighbor_pairs={res.pair_count}\n")
+        f.write(f"delta={res.delta:.5f}\nplan={args.plan}\n")
     print(
         f"mined {len(rendered)} patterns from {n_instances} instances "
         f"({res.pair_count} pairs) in {wall:.1f}s -> {args.output}"
