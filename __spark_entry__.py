@@ -55,6 +55,8 @@ JACCARD_T = 0.5
 MINHASH_T = 0.8
 ANN_QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
 ANN_K = 5
+ANN_LSH_R = 8
+ANN_LSH_BANDS = 32
 EMB_DUP_T = 0.9
 
 # ---------------------------------------------------------------- SQL CTEs
@@ -653,7 +655,8 @@ FROM cells
 
 
 def _lsh_planes_sql(dim: int = 64, nplanes: int = 12) -> str:
-    """The engine's deterministic hyperplanes as SQL list literals."""
+    """The engine's deterministic hyperplanes as SQL list literals
+    (plane p belongs to band p // r, bit position p % r)."""
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
         _plane,
     )
@@ -875,30 +878,41 @@ WHERE list_dot_product(a.q, b.q)
         "cell_id_assign": _cell_id_oracle_sql(),
         "ann_lsh_topk": f"""
 WITH {_QEMB_CTE},
-{_lsh_planes_sql()},
+{_lsh_planes_sql(nplanes=ANN_LSH_R * ANN_LSH_BANDS)},
 planes_d AS (
-  SELECT p, list_transform(vec, v -> CAST(v AS DOUBLE)) AS vec_d FROM planes
+  SELECT p, CAST(p // {ANN_LSH_R} AS INT) AS band, p % {ANN_LSH_R} AS bit,
+         list_transform(vec, v -> CAST(v AS DOUBLE)) AS vec_d
+  FROM planes
+),
+qemb_b AS (
+  -- signature-side quantization mirrors numpy's half-to-even rounding
+  -- (the engine computes signatures in a vectorized numpy UDF); scoring
+  -- below still uses qemb's HALF_UP ints shared with cosine_topk
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> roundbankers(CAST(v AS DOUBLE) * 10000, 0)) AS qb
+  FROM embeddings
 ),
 bucketed AS (
-  SELECT e.vec_id,
-         CAST(SUM(CASE WHEN list_dot_product(e.q, pl.vec_d) >= 0
-                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
-  FROM qemb e CROSS JOIN planes_d pl
-  GROUP BY e.vec_id
+  SELECT e.vec_id, pl.band,
+         CAST(SUM(CASE WHEN list_dot_product(e.qb, pl.vec_d) >= 0
+                       THEN 1 << pl.bit ELSE 0 END) AS BIGINT) AS sig
+  FROM qemb_b e CROSS JOIN planes_d pl
+  GROUP BY e.vec_id, pl.band
 ),
 qb AS (
-  SELECT q.vec_id AS query_id, q.q AS qv, b.bucket
+  SELECT q.vec_id AS query_id, q.q AS qv, b.band, b.sig
   FROM qemb q JOIN bucketed b ON q.vec_id = b.vec_id
   WHERE q.vec_id IN ({", ".join(map(str, ANN_QUERIES))})
 ),
 cb AS (
-  SELECT c.vec_id AS neighbor_id, c.q AS cv, b.bucket
+  SELECT c.vec_id AS neighbor_id, c.q AS cv, b.band, b.sig
   FROM qemb c JOIN bucketed b ON c.vec_id = b.vec_id
 ),
 scored AS (
-  SELECT qb.query_id, cb.neighbor_id,
+  SELECT DISTINCT qb.query_id, cb.neighbor_id,
          CAST(list_dot_product(qb.qv, cb.cv) AS BIGINT) AS dot
-  FROM qb JOIN cb ON qb.bucket = cb.bucket
+  FROM qb JOIN cb ON qb.band = cb.band AND qb.sig = cb.sig
   WHERE qb.query_id <> cb.neighbor_id
 ),
 ranked AS (

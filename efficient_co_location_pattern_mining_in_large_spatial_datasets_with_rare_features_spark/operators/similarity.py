@@ -117,26 +117,51 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 5,
     dim: int = 64,
-    nplanes: int = 12,
+    r: int = 8,
+    bands: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
+    """Approximate top-k via banded hyperplane LSH (OR across ``bands``
+    tables of ``r`` planes): score only candidates sharing at least one
+    band signature with the query.
 
-    Recall < 1 by design; the scale path when a full scan is too expensive.
-    Same output shape as cosine_topk.
+    Recall < 1 by design — the scale path when a full scan is too
+    expensive; bench.py measures realized recall vs cosine_topk every run.
+    For a neighbor at cosine s, per-plane agreement p = 1 - acos(s)/pi and
+    recall = 1 - (1 - p^r)^bands: >= 0.999 at s >= 0.8 with the defaults,
+    degrading on unstructured (near-orthogonal) corpora where true top-k
+    neighbors are barely closer than random — a data property, not a
+    construction defect.  Same output shape as cosine_topk.
     """
-    with_b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, nplanes))
-    q = with_b.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"), "bucket"
+    # Signatures come from the vectorized numpy path (one matmul per Arrow
+    # batch).  Its quantization rounds half-to-even (np.round); SQL oracles
+    # mirror that with roundbankers.  Dot products of integer-valued
+    # doubles stay below 2^53, so signs are order-independent and exact on
+    # both sides; the scoring dot below uses the engine-wide HALF_UP
+    # quantize, shared with cosine_topk.
+    sigs = band_signatures(dim, r, bands)
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            quantize(F.col(vec_col)).alias("v"),
+            sigs(F.col(vec_col)).alias("sigs"),
+        )
+        .select("id", "v", F.posexplode("sigs"))
+        .select("id", "v", F.col("pos").alias("band"), F.col("col").alias("sig"))
     )
-    c = with_b.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv"), "bucket"
+    q = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "sig"
+    )
+    c = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "sig"
     )
     scored = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
