@@ -517,6 +517,31 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector heatmap materialization: cell bbox polygon (WKT) + count."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        tile_counts,
+        vector_tiles,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return vector_tiles(tile_counts(inst, grid), grid)
+
+
+def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster heatmap materialization: one dense zero-filled scanline per
+    cell_y (bounded by grid width, not instance count)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        raster_tiles,
+        tile_counts,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return raster_tiles(tile_counts(inst, grid), grid)
+
+
 def _q_tile_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming availableNow backfill over the static events
     table: windowed per-cell counts must equal the equivalent batch/SQL
@@ -627,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": _q_point_in_polygon,
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
+        "tile_vector": _q_tile_vector,
+        "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
         "image_features": _q_image_features,
         "video_frame_sample": _q_video_frames,
@@ -972,6 +999,35 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY 1, 2
+""",
+        "tile_vector": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE},
+cnt AS (
+  SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
+)
+SELECT c.cell_x, c.cell_y,
+       'POLYGON((' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || '))'
+       AS wkt,
+       n
+FROM cnt c CROSS JOIN bounds b
+""",
+        "tile_raster": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE},
+cnt AS (
+  SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
+),
+dense AS (
+  SELECT y.cell_y, r.i AS cell_x, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT cell_y FROM cnt) y
+  CROSS JOIN (SELECT UNNEST(range(0, (SELECT ncx FROM bounds))) AS i) r
+  LEFT JOIN cnt c ON c.cell_y = y.cell_y AND c.cell_x = r.i
+)
+SELECT cell_y, list(n ORDER BY cell_x) AS counts FROM dense GROUP BY cell_y
 """,
         # availableNow streaming backfill == the batch windowed aggregation
         # (same instances -> same grid cells; 1-hour tumbling windows)

@@ -45,7 +45,9 @@ def vector_tiles(counts: DataFrame, grid: GridSpec) -> DataFrame:
     y1 = y0 + F.lit(grid.cell_size)
 
     def fmt(c: F.Column) -> F.Column:
-        return F.format_number(c, 6)
+        # %.6f (not format_number, whose thousands separators corrupt WKT
+        # for coordinates >= 1000 and have no ANSI-SQL equivalent)
+        return F.format_string("%.6f", c)
 
     wkt = F.concat(
         F.lit("POLYGON(("),
