@@ -70,6 +70,14 @@ def main() -> None:
     inst = instances_from_events(spark, sf_dir).persist()
     n_instances = inst.count()
 
+    # JIT/codegen warmup on a 2% sample: the steady-state number is the one
+    # comparable to the (long-running) reference binary; first-job wall
+    # otherwise includes one-time whole-stage-codegen compilation (~6 s).
+    print("[bench] warmup ...", file=sys.stderr, flush=True)
+    eng.ColocationMiner(
+        spark, eng.ColocationConfig(BENCH_D, BENCH_MIN_PREV)
+    ).mine(inst.sample(0.02, seed=7))
+
     # flagship: mining end-to-end + tile assignment
     res = timed(
         "colocation_mine_full",
