@@ -197,7 +197,7 @@ def _wpr_sql(i: int, k: int) -> str:
     )
 
 
-def _mine_full_oracle_sql(k_max: int = 5) -> str:
+def _mine_full_oracle_sql(k_max: int = 8) -> str:
     """Brute-force DuckDB mining oracle, unrolled to ``k_max``.
 
     Independent of the engine's level-wise plan: enumerates every clique of
@@ -367,6 +367,9 @@ def _q_prevalent_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_mine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = instances_from_events(spark, sf_dir)
     res = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV)).mine(inst)
+    # the SQL oracle enumerates cliques only to k=8; a wider feature universe
+    # must fail loudly here, not hash-mismatch mysteriously
+    assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
     rows = [
         (",".join(p), len(p), round(res.wpi[p], 9))
         for p in sorted(res.patterns, key=lambda p: (len(p), p))
@@ -381,6 +384,7 @@ def _q_mine_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = eng.ColocationMiner(
         spark, eng.ColocationConfig(D, MIN_PREV)
     ).mine_subtrees(inst)
+    assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
     rows = [
         (",".join(p), len(p), round(res.wpi[p], 9))
         for p in sorted(res.patterns, key=lambda p: (len(p), p))

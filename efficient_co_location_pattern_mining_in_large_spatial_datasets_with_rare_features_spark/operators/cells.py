@@ -102,11 +102,15 @@ def cell_id(cell_x: Column, cell_y: Column, resolution: int, bits: int = 15) -> 
         raise ValueError(f"resolution must be in [0, {MAX_RESOLUTION}]")
     if not 1 <= bits <= 29:
         raise ValueError(f"bits must be in [1, 29], got {bits}")
-    # Coordinates wider than `bits` would silently alias onto other cells;
-    # poison such rows to NULL instead (assert_true raises at execution).
+    # Coordinates wider than `bits` would silently alias onto other cells:
+    # assert_true FAILS THE JOB on the first such row (loud, not row-level
+    # poisoning).  NULL coordinates keep their pre-guard behavior — the
+    # packed id is NULL — rather than tripping the assert.
     limit = F.lit(1 << bits)
     ok = (
-        (cell_x >= 0) & (cell_x < limit) & (cell_y >= 0) & (cell_y < limit)
+        cell_x.isNull()
+        | cell_y.isNull()
+        | ((cell_x >= 0) & (cell_x < limit) & (cell_y >= 0) & (cell_y < limit))
     )
     guard = F.assert_true(
         ok, F.lit(f"cell coordinate out of range for bits={bits}")

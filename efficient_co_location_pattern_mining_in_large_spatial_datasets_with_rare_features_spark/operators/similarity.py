@@ -94,24 +94,6 @@ def _plane(p: int, dim: int) -> list[int]:
     return [((p * 67 + d * 31) % 19) - 9 for d in range(dim)]
 
 
-def lsh_bucket(vec_col: F.Column, dim: int, nplanes: int = 12) -> F.Column:
-    """Random-hyperplane signature: bit p = (v . plane_p) >= 0."""
-    qv = quantize(vec_col)
-    bits = []
-    for p in range(nplanes):
-        plane = F.array(*[F.lit(c) for c in _plane(p, dim)])
-        s = F.aggregate(
-            F.zip_with(qv, plane, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(s >= 0, F.lit(1 << p)).otherwise(0).cast("bigint"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -178,16 +160,17 @@ def lsh_topk(
     )
 
 
-def band_signatures(dim: int, r: int = 16, b: int = 64):
+def band_signatures(dim: int, r: int = 12, b: int = 64):
     """Vectorized banded hyperplane signatures: ``array<float> ->
     array<bigint>`` of length ``b`` (one packed r-bit signature per band).
 
     Same banding construction as minhash-LSH (dedup.py): a pair is a
     candidate iff it matches on ANY band.  Per-plane agreement for cosine s
     is ``p = 1 - acos(s)/pi``; miss probability ``(1 - p^r)^b`` — at the
-    defaults (r=16, b=64): 0.4% at s=0.90, 3e-6 at s=0.95, while two random
-    vectors collide on a band with prob 2^-16, so expected candidates stay
-    ~n*b/2^16 per row instead of n.
+    near-dup defaults (r=12, b=64): 2e-5 at s=0.90, 8e-10 at s=0.95, while
+    two random vectors collide on a band with prob 2^-12, so expected
+    random candidates stay ~n*b/2^12 per row instead of n (raise r for
+    lower thresholds-of-interest or heavier pruning).
 
     All r*b plane dot products happen in ONE numpy matmul per Arrow batch —
     a nested-lambda expression tree would re-evaluate the vector per plane
@@ -216,7 +199,7 @@ def embedding_duplicates(
     vec_col: str = "embedding",
     blocked: bool = True,
     dim: int = 64,
-    r: int = 16,
+    r: int = 12,
     b: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by quantized cosine >= threshold (a_id < b_id).

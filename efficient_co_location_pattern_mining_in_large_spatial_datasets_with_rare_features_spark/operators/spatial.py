@@ -33,13 +33,17 @@ def point_in_polygon(
 
     ``blocked=True`` (default) bins polygons to the grid cells covering
     their bounding box and equi-joins points on cell — a hash join whose
-    candidate count is bbox-local, never O(points x polygons).  A (point,
-    polygon) pair can meet in at most one cell (the point's), so no dedup
-    pass is needed.  ``cell_size`` defaults to the mean polygon bbox edge
-    (one tiny aggregate), making a typical polygon cover ~4 cells.
-    ``blocked=False`` is the exact all-pairs baseline for small inputs;
-    both paths apply the same bbox pre-filter and exact predicate, so the
-    output is identical either way.
+    candidate count is bbox-local, never O(points x polygons).  The grid
+    is MULTI-RESOLUTION: each polygon picks the coarsest power-of-two
+    multiple of ``cell_size`` at which its bbox spans <= 8 cells per axis,
+    so one continent-sized polygon costs <= 81 rows instead of (w*h)/cs^2;
+    points emit one probe key per resolution actually present (a handful —
+    log of the polygon-size spread).  A (point, polygon) pair can meet in
+    at most one (resolution, cell), so no dedup pass is needed.
+    ``cell_size`` defaults to the mean polygon bbox edge (one tiny
+    aggregate).  ``blocked=False`` is the exact all-pairs baseline for
+    small inputs; both paths apply the same bbox pre-filter and exact
+    predicate, so the output is identical either way.
     """
     n = F.size("xs")
     idx = F.sequence(F.lit(0), n - 1)
@@ -66,26 +70,49 @@ def point_in_polygon(
                 F.avg(F.array_max("ys") - F.array_min("ys")).alias("h"),
             ).collect()[0]
             cell_size = max(float(row["w"] or 1.0), float(row["h"] or 1.0), 1e-9)
-        cs = F.lit(float(cell_size))
-        pcells = polygons.withColumn(
+        cs0 = float(cell_size)
+        max_span = 8.0
+        span_cells = F.greatest(
+            (F.array_max("xs") - F.array_min("xs")) / F.lit(cs0),
+            (F.array_max("ys") - F.array_min("ys")) / F.lit(cs0),
+        )
+        pres = polygons.withColumn(
+            "res",
+            F.ceil(
+                F.log2(F.greatest(span_cells / F.lit(max_span), F.lit(1.0)))
+            ).cast("int"),
+        )
+        csr = F.lit(cs0) * F.pow(F.lit(2.0), F.col("res"))
+        pcells = pres.withColumn(
             "cell_x",
             F.explode(
                 F.sequence(
-                    F.floor(F.array_min("xs") / cs), F.floor(F.array_max("xs") / cs)
+                    F.floor(F.array_min("xs") / csr), F.floor(F.array_max("xs") / csr)
                 )
             ),
         ).withColumn(
             "cell_y",
             F.explode(
                 F.sequence(
-                    F.floor(F.array_min("ys") / cs), F.floor(F.array_max("ys") / cs)
+                    F.floor(F.array_min("ys") / csr), F.floor(F.array_max("ys") / csr)
                 )
             ),
         )
-        pts = points.withColumn("cell_x", F.floor(F.col("x") / cs)).withColumn(
-            "cell_y", F.floor(F.col("y") / cs)
+        res_values = sorted(
+            r["res"] for r in pres.select("res").distinct().collect()
         )
-        joined = pts.join(pcells, ["cell_x", "cell_y"]).filter(bbox)
+        if not res_values:  # no polygons at all
+            return points.limit(0).crossJoin(polygons.limit(0)).select(
+                "id", "poly_id"
+            )
+        pts = points.withColumn(
+            "res", F.explode(F.array(*[F.lit(r) for r in res_values]))
+        )
+        pt_cs = F.lit(cs0) * F.pow(F.lit(2.0), F.col("res"))
+        pts = pts.withColumn("cell_x", F.floor(F.col("x") / pt_cs)).withColumn(
+            "cell_y", F.floor(F.col("y") / pt_cs)
+        )
+        joined = pts.join(pcells, ["res", "cell_x", "cell_y"]).filter(bbox)
     else:
         joined = points.crossJoin(polygons).filter(bbox)
     return joined.filter(crossings % 2 == 1).select("id", "poly_id")

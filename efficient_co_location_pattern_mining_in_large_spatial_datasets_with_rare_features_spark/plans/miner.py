@@ -188,6 +188,7 @@ class ColocationMiner:
         prevalent: list[Pattern],
         pi_map: dict[Pattern, float],
         wpi_map: dict[Pattern, float],
+        encode_ids: bool = True,
     ) -> None:
         if not self.config.checkpoint_dir:
             return
@@ -199,11 +200,13 @@ class ColocationMiner:
         # (each task writes one part file, so file == partition).
         import pyarrow.parquet as pq
 
-        part_counts = []
-        for i, fname in enumerate(sorted(os.listdir(table_dir))):
-            if fname.endswith(".parquet"):
-                fpath = os.path.join(table_dir, fname)
-                part_counts.append([i, pq.ParquetFile(fpath).metadata.num_rows])
+        part_files = sorted(
+            f for f in os.listdir(table_dir) if f.endswith(".parquet")
+        )
+        part_counts = [
+            [i, pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows]
+            for i, f in enumerate(part_files)
+        ]
         manifest = {
             "level": k,
             "row_count": table_rows,
@@ -217,6 +220,7 @@ class ColocationMiner:
                     "neighbor_distance": self.config.neighbor_distance,
                     "min_prevalence": self.config.min_prevalence,
                 },
+                "encode_ids": encode_ids,
                 "written_at": time.time(),
             },
         }
@@ -428,10 +432,21 @@ class ColocationMiner:
         cfg = self.config
         spark = self.spark
 
-        counts, rank, delta_value, join_check = self._stats(
-            instances, check_hashes=_encode
-        )
         encode_ids = _encode
+        # A checkpoint fixes the id representation of its level tables: a
+        # resumed run must build its edges with the SAME encoding or the
+        # t_prev <-> edges join would silently compare strings to longs.
+        resume_manifests: list[dict] = []
+        if resume:
+            resume_manifests = self._load_manifests()
+            if resume_manifests:
+                encode_ids = resume_manifests[-1]["lineage"].get(
+                    "encode_ids", True
+                )
+
+        counts, rank, delta_value, join_check = self._stats(
+            instances, check_hashes=encode_ids
+        )
 
         # pairs -> edges is one linear pipeline; only the edges need to be
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
@@ -452,7 +467,7 @@ class ColocationMiner:
         filtered_prev: list[Pattern] = []
         pi_prev: dict[Pattern, float] = {}
         if resume:
-            manifests = self._load_manifests()
+            manifests = resume_manifests
             if manifests:
                 last = manifests[-1]
                 # Checkpointed levels were mined under a specific semantic
@@ -568,7 +583,10 @@ class ColocationMiner:
             prevalent, pi_map, wpi_map = self._select_prevalent(
                 filtered, part, counts, delta_value
             )
-            self._write_level(k, t_k, table_rows, filtered, prevalent, pi_map, wpi_map)
+            self._write_level(
+                k, t_k, table_rows, filtered, prevalent, pi_map, wpi_map,
+                encode_ids=encode_ids,
+            )
 
             all_patterns.extend(prevalent)
             for c in prevalent:
@@ -596,9 +614,16 @@ class ColocationMiner:
             edges.unpersist()
 
         # Join the optimistic injectivity check: on the ~2^-64-probability
-        # unlucky branch, rebuild everything with exact string ids.
-        if _encode and not join_check():
-            return self.mine(instances, resume=resume, _encode=False)
+        # unlucky branch, rebuild everything with exact string ids.  The
+        # checkpoints written this run carry collision-tainted encoded ids;
+        # invalidate their manifests so no later resume can mix encodings.
+        if encode_ids and not join_check():
+            if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir):
+                for name in os.listdir(cfg.checkpoint_dir):
+                    mpath = os.path.join(cfg.checkpoint_dir, name, "manifest.json")
+                    if name.startswith("level_") and os.path.exists(mpath):
+                        os.remove(mpath)
+            return self.mine(instances, resume=False, _encode=False)
 
         return MiningResult(
             patterns=all_patterns,

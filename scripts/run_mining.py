@@ -105,6 +105,17 @@ def main() -> None:
     t0 = time.time()
     miner = eng.ColocationMiner(spark, cfg)
     if args.plan == "subtree":
+        # checkpoint/resume is a level-wise-plan feature; refuse loudly
+        # rather than silently remining from scratch
+        if args.resume:
+            ap.error("--resume requires --plan levelwise (mine_subtrees "
+                     "has no checkpoint support)")
+        if args.checkpoint_dir:
+            print(
+                "[run_mining] warning: --checkpoint-dir is ignored by "
+                "--plan subtree (no checkpoint support)",
+                file=sys.stderr,
+            )
         res = miner.mine_subtrees(instances)
     else:
         res = miner.mine(instances, resume=args.resume)

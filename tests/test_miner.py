@@ -139,3 +139,25 @@ def test_duplicate_ids_fall_back_to_string_ids(spark, sample_instances):
     assert sorted(res_opt.patterns) == sorted(res_str.patterns)
     for p in res_str.patterns:
         assert abs(res_opt.wpi[p] - res_str.wpi[p]) < 1e-12
+
+
+def test_resume_respects_checkpoint_encoding(spark, sample_instances, tmp_path):
+    """A fallback (string-id) run writes encode_ids=false manifests; a later
+    resume must rebuild its edges with the same representation instead of
+    joining string-id level tables against hashed-long edges."""
+    from pyspark.sql import functions as F
+    import json
+    import shutil
+
+    dup = sample_instances.withColumn(
+        "id", F.when(F.col("id") == "A2", F.lit("A1")).otherwise(F.col("id"))
+    )
+    ck = str(tmp_path / "ck")
+    cfg = eng.ColocationConfig(5.0, 0.6, checkpoint_dir=ck)
+    res_full = eng.ColocationMiner(spark, cfg).mine(dup)
+    with open(os.path.join(ck, "level_2", "manifest.json")) as f:
+        assert json.load(f)["lineage"]["encode_ids"] is False
+    shutil.rmtree(os.path.join(ck, "level_3"))
+    res_resumed = eng.ColocationMiner(spark, cfg).mine(dup, resume=True)
+    assert sorted(res_resumed.patterns) == sorted(res_full.patterns)
+    assert res_resumed.pair_count == res_full.pair_count

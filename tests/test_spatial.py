@@ -127,3 +127,32 @@ def test_pip_blocked_equals_exact_and_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pip_multiresolution_handles_giant_polygon(spark):
+    """A polygon 1000x larger than the mean must bin at a coarse resolution
+    (bounded covering-cell rows), not explode the grid join."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        point_in_polygon,
+        synth_polygons,
+    )
+
+    pts = spark.createDataFrame(
+        [(f"p{i}", float((i * 131) % 997), float((i * 577) % 991)) for i in range(300)],
+        "id string, x double, y double",
+    )
+    small = synth_polygons(spark, 10)
+    # a diamond covering nearly the whole plane
+    giant = spark.createDataFrame(
+        [(999, [-500.0, 500.0, 1500.0, 500.0], [500.0, -500.0, 500.0, 1500.0])],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    polys = small.unionByName(giant)
+    exact = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys, blocked=False).collect()}
+    binned = {(r.id, r.poly_id) for r in point_in_polygon(pts, polys, blocked=True).collect()}
+    assert binned == exact
+    # every point lies inside the giant diamond
+    assert sum(1 for (_, pid) in exact if pid == 999) == 300
+    # empty polygon set -> empty result, correct schema, no error
+    empty = polys.limit(0)
+    assert point_in_polygon(pts, empty, blocked=True).count() == 0

@@ -124,7 +124,7 @@ def test_lsh_topk_subset_of_exact(spark):
 
 def test_embedding_duplicates_blocked_is_subset(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8).collect()}
+    exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8, blocked=False).collect()}
     blocked = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8, blocked=True).collect()}
     assert blocked <= exact
 
