@@ -585,6 +585,47 @@ def _q_tile_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_state_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) drained
+    over the static events table: the per-batch update rows are
+    micro-batch-dependent, but the FINAL cumulative state per cell — max
+    running total plus the exactly-once hot-flag count — is deterministic
+    and equals the batch aggregation the oracle computes."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+        X_SQL,
+        Y_SQL,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.stateful import (
+        run_update_stream,
+        streaming_tile_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "ts",
+        F.col("event_type").alias("feature"),
+        F.expr(X_SQL).alias("x"),
+        F.expr(Y_SQL).alias("y"),
+    ).repartition(64)  # many source files -> several micro-batches
+    grid = compute_bounds(instances_from_events(spark, sf_dir), D)
+    tmp = tempfile.mkdtemp(prefix="tile_state_src_")
+    src.write.mode("overwrite").parquet(tmp)
+    name = f"tile_state_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_tile_state(spark, tmp, grid, hot_threshold=3)
+    run_update_stream(sdf, tempfile.mkdtemp(prefix="tile_state_ck_"), name)
+    return (
+        spark.table(name)
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.max("total").cast("long").alias("total"),
+            F.sum(F.col("went_hot").cast("long")).alias("n_hot_events"),
+        )
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> per-channel means + luma histogram over the synthesized
     image table (mapInPandas, fake codec — rows-only check by design)."""
@@ -659,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
+        "tile_state_backfill": _q_tile_state_backfill,
         "image_features": _q_image_features,
         "video_frame_sample": _q_video_frames,
     }
@@ -1041,5 +1083,15 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
        cell_x, cell_y, COUNT(*) AS n
 FROM cells
 GROUP BY 1, 2, 3
+""",
+        # stateful-operator backfill: the final cumulative per-cell state
+        # equals the plain batch count; the one-shot hot flag fired exactly
+        # once iff the final total reached the threshold (3)
+        "tile_state_backfill": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE}
+SELECT cell_x, cell_y, COUNT(*) AS total,
+       CAST(CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_hot_events
+FROM cells
+GROUP BY cell_x, cell_y
 """,
     }

@@ -30,34 +30,37 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "total bigint, hot boolean"
 
 
-def _update(
-    key: tuple,
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    rows = sum(len(b) for b in batches)
-    if state.exists:
-        total, hot = state.get
-    else:
-        total, hot = 0, False
-    total += rows
-    threshold = 100  # hot-tile threshold; parameterized via closure in prod
-    went_hot = (not hot) and total >= threshold
-    state.update((total, hot or went_hot))
-    yield pd.DataFrame(
-        {
-            "cell_x": [key[0]],
-            "cell_y": [key[1]],
-            "total": [total],
-            "went_hot": [went_hot],
-        }
-    )
+def _make_update(threshold: int):
+    def _update(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = sum(len(b) for b in batches)
+        if state.exists:
+            total, hot = state.get
+        else:
+            total, hot = 0, False
+        total += rows
+        went_hot = (not hot) and total >= threshold
+        state.update((total, hot or went_hot))
+        yield pd.DataFrame(
+            {
+                "cell_x": [key[0]],
+                "cell_y": [key[1]],
+                "total": [total],
+                "went_hot": [went_hot],
+            }
+        )
+
+    return _update
 
 
 def streaming_tile_state(
     spark: SparkSession,
     source_dir: str,
     grid: GridSpec,
+    hot_threshold: int = 100,
 ) -> DataFrame:
     """Streaming DataFrame of cumulative per-cell totals + one-shot hot flags."""
     stream = (
@@ -67,7 +70,7 @@ def streaming_tile_state(
     )
     cells = with_cell(stream, grid).select("cell_x", "cell_y")
     return cells.groupBy("cell_x", "cell_y").applyInPandasWithState(
-        _update,
+        _make_update(hot_threshold),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
