@@ -509,6 +509,18 @@ def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(inst, queries, k=5, exclude_self=True)
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-points kNN join (grid-blocked; queries == corpus), restricted to
+    a deterministic 1/17 query subset to keep the all-pairs oracle cheap."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        knn_join,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    out = knn_join(inst, k=3, radius=D)
+    return out.filter(F.expr("CAST(split(qid, '#')[1] AS BIGINT) % 17 = 0"))
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # money as integer cents: double summation order is engine-dependent
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": _q_point_in_polygon,
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
+        "spatial_knn_join": _q_knn_join,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
@@ -1045,6 +1058,22 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY 1, 2
+""",
+        "spatial_knn_join": f"""
+WITH {_INSTANCES_CTE},
+nb AS (
+  SELECT a.id AS qid, b.id AS id, b.feature AS feature,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM instances a JOIN instances b
+    ON a.id <> b.id
+   AND CAST(string_split(a.id, '#')[2] AS BIGINT) % 17 = 0
+   AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {D!r}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank
+  FROM nb
+)
+SELECT qid, id, feature, dist, rank FROM ranked WHERE rank <= 3
 """,
         "tile_vector": f"""
 WITH {_INSTANCES_CTE}, {_CELLS_CTE},

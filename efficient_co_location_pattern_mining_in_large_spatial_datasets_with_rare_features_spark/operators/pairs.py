@@ -59,8 +59,14 @@ def neighbor_pairs(
     salt_buckets: int = 8,
     adaptive_cell_split: bool = False,
     grid: GridSpec | None = None,
+    cross_feature_only: bool = True,
 ) -> DataFrame:
-    """All unordered cross-feature instance pairs within distance ``d``."""
+    """All unordered cross-feature instance pairs within distance ``d``.
+
+    ``cross_feature_only=False`` keeps same-feature pairs too (the kNN-join
+    contract); the mining path always uses the default cross-feature form
+    (reference src/spatial_index.cpp:83).
+    """
     if cell_size is None:
         cell_size = d
     if not (0 < cell_size <= d):
@@ -171,8 +177,13 @@ def neighbor_pairs(
     dist = F.sqrt(
         (F.col("a_x") - F.col("b_x")) ** 2 + (F.col("a_y") - F.col("b_y")) ** 2
     )
-    pairs = joined.filter(
+    feature_pred = (
         (F.col("a_feature") != F.col("b_feature"))
+        if cross_feature_only
+        else (F.col("a_id") != F.col("b_id"))
+    )
+    pairs = joined.filter(
+        feature_pred
         & (~F.col("same_cell") | (F.col("a_id") < F.col("b_id")))
         & (dist <= F.lit(float(d)))
     ).select("a_feature", "a_id", "a_x", "a_y", "b_feature", "b_id", "b_x", "b_y", dist.alias("dist"))

@@ -156,6 +156,54 @@ def knn(
     )
 
 
+def knn_join(
+    instances: DataFrame,
+    k: int = 5,
+    radius: float = 10.0,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """All-points kNN join: for EVERY instance, its k nearest other
+    instances within ``radius`` (any feature; ties broken by neighbor id).
+
+    This is the scale path the broadcast-query ``knn`` cannot take — the
+    query set IS the corpus.  Built on the grid stencil equi-join
+    (neighbor_pairs with ``cross_feature_only=False``), so the candidate
+    set per point is radius-local, never the full corpus.  The radius is
+    part of the contract: points with fewer than k neighbors inside it
+    return fewer rows (rank <= actual neighbors) — the caller widens the
+    radius or falls back to ``knn`` for stragglers.
+
+    Output: (qid, id, feature, dist, rank) — one row per (point, neighbor)
+    kept, same shape as ``knn``.
+    """
+    from .pairs import neighbor_pairs
+
+    pairs = neighbor_pairs(
+        instances,
+        radius,
+        cell_size=cell_size,
+        cross_feature_only=False,
+    )
+    fwd = pairs.select(
+        F.col("a_id").alias("qid"),
+        F.col("b_id").alias("id"),
+        F.col("b_feature").alias("feature"),
+        "dist",
+    )
+    rev = pairs.select(
+        F.col("b_id").alias("qid"),
+        F.col("a_id").alias("id"),
+        F.col("a_feature").alias("feature"),
+        "dist",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def synth_polygons(spark, n_polys: int = 25) -> DataFrame:
     """Deterministic diamond polygons on the 1000x1000 testdata plane —
     the fixture generator for point-in-polygon queries (mirrored in SQL)."""

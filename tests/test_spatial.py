@@ -156,3 +156,30 @@ def test_pip_multiresolution_handles_giant_polygon(spark):
     # empty polygon set -> empty result, correct schema, no error
     empty = polys.limit(0)
     assert point_in_polygon(pts, empty, blocked=True).count() == 0
+
+
+def test_knn_join_matches_bruteforce(spark):
+    import math
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        knn_join,
+    )
+
+    rows = [
+        (f"F{i%3}", f"p{i}", float((i * 37) % 50), float((i * 61) % 50))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    out = {(r.qid, r.id, r.rank) for r in knn_join(df, k=3, radius=12.0).collect()}
+    # brute force
+    expect = set()
+    for f, i, x, y in rows:
+        cand = [
+            (math.sqrt((x - x2) ** 2 + (y - y2) ** 2), j)
+            for (_, j, x2, y2) in rows
+            if j != i and math.sqrt((x - x2) ** 2 + (y - y2) ** 2) <= 12.0
+        ]
+        for rank, (_, j) in enumerate(sorted(cand), 1):
+            if rank <= 3:
+                expect.add((i, j, rank))
+    assert out == expect
