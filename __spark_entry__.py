@@ -119,6 +119,34 @@ delta_v AS (
 )
 """
 
+#: synth_polygons fixture (spatial.py) as SQL — 25 deterministic diamonds
+_POLYS_CTE = """
+polys AS (
+  SELECT CAST(p AS INT) AS poly_id,
+         CAST((p * 7919 + 13) % 900 + 50 AS DOUBLE) AS cx,
+         CAST((p * 104729 + 29) % 900 + 50 AS DOUBLE) AS cy,
+         CAST(30 + (p % 5) * 10 AS DOUBLE) AS r
+  FROM generate_series(0, 24) t(p)
+),
+polyv AS (
+  SELECT poly_id, [cx - r, cx, cx + r, cx] AS xs, [cy, cy - r, cy, cy + r] AS ys
+  FROM polys
+)
+"""
+
+
+def _raycast(alias: str) -> str:
+    """Even-odd ray-cast predicate for a point table aliased ``alias``
+    against polyv (xs, ys) — identical arithmetic to spatial.point_in_polygon."""
+    return f"""len(list_filter(range(0, 4), vi ->
+        ((ys[vi + 1] > {alias}.y) <> (ys[CASE WHEN vi = 0 THEN 4 ELSE vi END] > {alias}.y))
+        AND {alias}.x < (xs[CASE WHEN vi = 0 THEN 4 ELSE vi END] - xs[vi + 1])
+                    * ({alias}.y - ys[vi + 1])
+                    / (ys[CASE WHEN vi = 0 THEN 4 ELSE vi END] - ys[vi + 1])
+                    + xs[vi + 1]
+      )) % 2 = 1"""
+
+
 #: canonically-oriented star edges (stars.py)
 _EDGES_CTE = """
 edges AS (
@@ -521,6 +549,62 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.expr("CAST(split(qid, '#')[1] AS BIGINT) % 17 = 0"))
 
 
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bichromatic ε-join between two disjoint point sets (even vs odd
+    event ordinals) on the grid stencil."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    ordinal = F.expr("CAST(split(id, '#')[1] AS BIGINT)")
+    left = inst.filter(ordinal % 2 == 0)
+    right = inst.filter(ordinal % 2 == 1)
+    return distance_join(left, right, D)
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon order-independent stats over contained points."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        synth_polygons,
+        zonal_stats,
+    )
+
+    return zonal_stats(instances_from_events(spark, sf_dir), synth_polygons(spark))
+
+
+DBSCAN_EPS = 6.0
+DBSCAN_MIN_PTS = 3
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the ε-neighbor grid: star-contraction connected
+    components on Spark vs a recursive-closure oracle."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cluster import (
+        dbscan,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    return dbscan(inst, DBSCAN_EPS, DBSCAN_MIN_PTS)
+
+
+def _q_images_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by 64-bit perceptual-hash Hamming distance
+    (pigeonhole chunk blocking + exact popcount verify).  Rows-only: the
+    phash is computed from decoded pixels, which ANSI SQL cannot express."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        phash_duplicates,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.image_table import (
+        synthesize_image_table,
+    )
+
+    inst = instances_from_events(spark, sf_dir).filter(
+        F.expr("CAST(split(id, '#')[1] AS BIGINT) % 23 = 0")
+    )
+    return phash_duplicates(synthesize_image_table(inst), hamming_max=4)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # money as integer cents: double summation order is engine-dependent
@@ -710,6 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
         "spatial_knn_join": _q_knn_join,
+        "distance_join": _q_distance_join,
+        "zonal_stats": _q_zonal_stats,
+        "dbscan_clusters": _q_dbscan,
+        "images_phash_dupes": _q_images_phash_dupes,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
@@ -1012,26 +1100,67 @@ WITH {_INSTANCES_CTE},
 pts AS (
   SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 13 = 0
 ),
-polys AS (
-  SELECT CAST(p AS INT) AS poly_id,
-         CAST((p * 7919 + 13) % 900 + 50 AS DOUBLE) AS cx,
-         CAST((p * 104729 + 29) % 900 + 50 AS DOUBLE) AS cy,
-         CAST(30 + (p % 5) * 10 AS DOUBLE) AS r
-  FROM generate_series(0, 24) t(p)
-),
-polyv AS (
-  SELECT poly_id, [cx - r, cx, cx + r, cx] AS xs, [cy, cy - r, cy, cy + r] AS ys
-  FROM polys
-)
+{_POLYS_CTE}
 SELECT pts.id AS id, polyv.poly_id AS poly_id
 FROM pts CROSS JOIN polyv
-WHERE len(list_filter(range(0, 4), i ->
-        ((ys[i + 1] > pts.y) <> (ys[CASE WHEN i = 0 THEN 4 ELSE i END] > pts.y))
-        AND pts.x < (xs[CASE WHEN i = 0 THEN 4 ELSE i END] - xs[i + 1])
-                    * (pts.y - ys[i + 1])
-                    / (ys[CASE WHEN i = 0 THEN 4 ELSE i END] - ys[i + 1])
-                    + xs[i + 1]
-      )) % 2 = 1
+WHERE {_raycast("pts")}
+""",
+        "zonal_stats": f"""
+WITH {_INSTANCES_CTE},
+{_POLYS_CTE},
+hits AS (
+  SELECT pt.id, pt.feature, pt.x, pt.y, polyv.poly_id
+  FROM instances pt CROSS JOIN polyv
+  WHERE {_raycast("pt")}
+)
+SELECT poly_id, COUNT(*) AS n, COUNT(DISTINCT feature) AS n_features,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM hits GROUP BY poly_id
+""",
+        "distance_join": f"""
+WITH {_INSTANCES_CTE},
+l AS (SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 2 = 0),
+r AS (SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 2 = 1)
+SELECT l.id AS a_id, l.x AS a_x, l.y AS a_y,
+       r.id AS b_id, r.x AS b_x, r.y AS b_y,
+       SQRT((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)) AS dist
+FROM l JOIN r
+  ON SQRT((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)) <= {D!r}
+""",
+        "dbscan_clusters": f"""
+WITH RECURSIVE {_INSTANCES_CTE},
+p2 AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM instances a JOIN instances b
+    ON a.id < b.id
+   AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {DBSCAN_EPS!r}
+),
+adj AS (SELECT a_id AS s, b_id AS t FROM p2 UNION ALL SELECT b_id AS s, a_id AS t FROM p2),
+cores AS (SELECT s AS id FROM adj GROUP BY s HAVING COUNT(*) >= {DBSCAN_MIN_PTS - 1}),
+core_adj AS (
+  SELECT s, t FROM adj
+  WHERE s IN (SELECT id FROM cores) AND t IN (SELECT id FROM cores)
+),
+comp(id, lab) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT e.t, c.lab FROM comp c JOIN core_adj e ON e.s = c.id
+),
+clusters AS (SELECT id, MIN(lab) AS cluster FROM comp GROUP BY id),
+border AS (
+  SELECT adj.s AS id, MIN(cl.cluster) AS cluster
+  FROM adj JOIN clusters cl ON adj.t = cl.id
+  WHERE adj.s NOT IN (SELECT id FROM cores)
+  GROUP BY adj.s
+)
+SELECT i.id AS id,
+       COALESCE(c.cluster, b.cluster) AS cluster,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM instances i
+LEFT JOIN clusters c ON i.id = c.id
+LEFT JOIN border b ON i.id = b.id
 """,
         "spatial_knn": f"""
 WITH {_INSTANCES_CTE},

@@ -127,6 +127,25 @@ def main() -> None:
     timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
     timed("events_hourly", lambda: entrymod._q_events_hourly(spark, sf_dir).count())
 
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cluster import (
+        dbscan,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+        knn_join,
+    )
+    from pyspark.sql import functions as F
+
+    timed("dbscan", lambda: dbscan(inst, BENCH_D, 4).count())
+    timed("knn_join", lambda: knn_join(inst, k=5, radius=BENCH_D).count())
+    ordinal = F.expr("CAST(split(id, '#')[1] AS BIGINT)")
+    timed(
+        "distance_join",
+        lambda: distance_join(
+            inst.filter(ordinal % 2 == 0), inst.filter(ordinal % 2 == 1), BENCH_D
+        ).count(),
+    )
+
     flagship = timings["colocation_mine_full"] + timings["tile_counts"]
     print(
         json.dumps(

@@ -1,0 +1,260 @@
+"""Density-based spatial clustering (DBSCAN) on the neighbor-pair grid.
+
+The reference mines co-locations over the ε-neighbor graph (src/
+spatial_index.cpp:43-114); this operator reuses the same grid equi-join to
+answer the other classic question over that graph — density clusters.
+
+Semantics (classic DBSCAN, deterministic tie-breaks):
+
+- *core*:   |N_eps(p)| >= min_pts, counting p itself;
+- *border*: non-core with at least one core ε-neighbor;
+- *noise*:  everything else (cluster NULL).
+- cluster label = the MINIMUM instance id among the cluster's core points
+  (density-connectivity over core-core ε-edges), so labels are stable
+  across runs, partitionings and engines.  A border point adjacent to
+  several clusters takes the minimum label (deterministic, unlike the
+  scan-order-dependent assignment of the original sequential algorithm).
+
+Physical plan (Spark-first):
+
+1. ε-pairs from the grid-cell stencil join (pairs.neighbor_pairs with the
+   feature filter off) — never an all-pairs product;
+2. degree count -> core flag (one shuffle);
+3. connected components over core-core edges by *star contraction*: each
+   round every node relabels to min(self, min ε-neighbor label) and edges
+   contract to distinct (label_u, label_v) — components halve in diameter
+   per round, so rounds = O(log diameter); each round shuffles only the
+   shrinking edge set plus a constant-width label map.  Lineage is cut per
+   round with localCheckpoint, the same discipline as the miner's level
+   loop (plans/miner.py).
+4. border assignment = one broadcast-or-hash join of non-core points'
+   core neighbors against the label map.
+
+The oracle mirrors this with a recursive transitive closure, which is
+exponential-ish in component size — fine at correctness scale, which is
+exactly why the engine side uses contraction instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pairs import neighbor_pairs
+
+_MAX_ROUNDS = 64
+
+#: contracted graphs at or below this edge count finish on the driver with
+#: linear-time union-find — the same driver-finish discipline as the miner's
+#: candidate bookkeeping: a bounded remainder beats a tail of tiny serial
+#: distributed rounds.  ~500k string edges is ~100 MB driver-side.
+_DRIVER_FINISH_EDGES = 500_000
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and rebuild it as a fresh leaf scan.
+
+    ``localCheckpoint`` truncates the RDD lineage but *carries the origin
+    plan's estimated stats*, and Spark's size-only join estimator multiplies
+    child sizes — so iterative self-joins of checkpoints compound
+    ``sizeInBytes`` into BigInts whose bit width doubles per round; by round
+    ~10 the driver spends minutes just multiplying them (observed: 100 s of
+    BigInteger.multiplyToomCook3 to plan a 37-edge join).  Re-wrapping the
+    checkpointed RDD as a bare scan resets the estimate to the default;
+    AQE's runtime re-planning still uses the REAL materialized sizes, so
+    broadcast-vs-shuffle decisions are unaffected."""
+    ck = df.localCheckpoint()
+    try:
+        jdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(jdf, df.sparkSession)
+    except Exception:  # private API moved: degrade to the plain checkpoint
+        return ck
+
+
+def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Union-find the contracted remainder on the driver (min id becomes
+    the root), then fold the roots back into ``mapping`` with one broadcast
+    join."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen: set[str] = set()
+    for u, v in cur.select("u", "v").toLocalIterator():
+        seen.add(u)
+        seen.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    fin = cur.sparkSession.createDataFrame(
+        [(x, find(x)) for x in seen], "s string, lab string"
+    )
+    return (
+        mapping.join(
+            F.broadcast(fin.select(F.col("s").alias("label"), F.col("lab").alias("_new"))),
+            "label",
+            "left",
+        )
+        .select("node", F.coalesce("_new", "label").alias("label"))
+    )
+
+
+def _contract_components(
+    edges: DataFrame, driver_finish_edges: int = _DRIVER_FINISH_EDGES
+) -> DataFrame:
+    """Connected components of an undirected graph given as canonical
+    (u, v) string-id edges (u < v).  Returns (node, label) for every node
+    that appears in at least one edge; label = min node id in the
+    component.
+
+    Shiloach-Vishkin-style rounds: hook every node to min(self, min
+    ε-neighbor) — a pointer forest rooted at local minima — then
+    pointer-double to full depth (path compression), relabel edges by
+    root and drop self-loops.  Roots form an independent set, so each
+    round at least halves the contracted graph; with compression inside
+    the round even an n-node path closes in O(log n) rounds (naive
+    min-propagation needs n — test_dbscan_long_chain_converges)."""
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    mapping = _cut(nodes.select("node", F.col("node").alias("label")))
+    cur = _cut(edges)
+    for _ in range(_MAX_ROUNDS):
+        n_edges = cur.count()
+        if n_edges == 0:
+            break
+        if n_edges <= driver_finish_edges:
+            return _driver_finish(cur, mapping)
+        adj = cur.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+            cur.select(F.col("v").alias("s"), F.col("u").alias("t"))
+        )
+        star = _cut(
+            adj.groupBy("s")
+            .agg(F.min("t").alias("m"))
+            .select("s", F.least("s", "m").alias("lab"))
+        )
+        for _ in range(_MAX_ROUNDS):
+            # Two pointer jumps fused into one materialization (4x depth per
+            # round, one driver barrier): ptr <- ptr[ptr[ptr]] composed
+            # lazily, then checkpointed once; the convergence test is a
+            # cheap scan of the checkpointed result, not a recompute.
+            ptr = star.select(F.col("s").alias("_k"), F.col("lab").alias("_v"))
+            hop = _cut(
+                star.select("s", F.col("lab").alias("old"))
+                .join(ptr, F.col("old") == F.col("_k"))
+                .select("s", "old", F.col("_v").alias("mid"))
+                .join(ptr, F.col("mid") == F.col("_k"))
+                .select("s", "old", F.col("_v").alias("new"))
+            )
+            star = hop.select("s", F.col("new").alias("lab"))
+            if hop.filter(F.col("new") != F.col("old")).isEmpty():
+                break
+        else:
+            raise RuntimeError("pointer doubling did not converge")
+        relab = (
+            cur.join(star.select(F.col("s").alias("u"), F.col("lab").alias("lu")), "u")
+            .join(star.select(F.col("s").alias("v"), F.col("lab").alias("lv")), "v")
+            .select(
+                F.least("lu", "lv").alias("u"), F.greatest("lu", "lv").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mapping = _cut(
+            mapping.join(
+                star.select(F.col("s").alias("label"), F.col("lab").alias("_new")),
+                "label",
+                "left",
+            ).select("node", F.coalesce("_new", "label").alias("label"))
+        )
+        cur = _cut(relab)
+    else:
+        raise RuntimeError(
+            f"component contraction did not converge in {_MAX_ROUNDS} rounds"
+        )
+    return mapping
+
+
+def dbscan(
+    instances: DataFrame,
+    eps: float,
+    min_pts: int,
+    cell_size: float | None = None,
+    driver_finish_edges: int = _DRIVER_FINISH_EDGES,
+) -> DataFrame:
+    """DBSCAN over ``(feature, id, x, y)`` instances.
+
+    Output: ``(id, cluster, role)`` for EVERY input instance —
+    ``role`` in {'core', 'border', 'noise'}; ``cluster`` is the minimum
+    core id of the cluster, NULL for noise.
+
+    ``driver_finish_edges`` tunes when the contracted component graph is
+    small enough to finish with driver-side union-find (0 = always fully
+    distributed); output-invariant either way.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    pairs = neighbor_pairs(
+        instances, eps, cell_size=cell_size, cross_feature_only=False
+    ).select("a_id", "b_id")
+    # The ε-graph feeds three downstream passes (degrees, core edges,
+    # border neighbors): materialize once.
+    pairs = pairs.persist()
+    adj = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t")).unionByName(
+        pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("t"))
+    )
+    degrees = adj.groupBy("s").count()
+    cores = degrees.filter(F.col("count") >= min_pts - 1).select(
+        F.col("s").alias("id")
+    )
+    if min_pts <= 1:
+        cores = instances.select("id")
+    cores = cores.persist()
+
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("id", "a_id"), "a_id", "left_semi")
+        .join(cores.withColumnRenamed("id", "b_id"), "b_id", "left_semi")
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    comp = _contract_components(core_edges, driver_finish_edges)
+    core_clusters = cores.join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    ).select(
+        "id",
+        # isolated core (no core neighbor): its own singleton cluster
+        F.coalesce("label", "id").alias("cluster"),
+        F.lit("core").alias("role"),
+    )
+
+    border = (
+        adj.join(cores.withColumnRenamed("id", "s"), "s", "left_anti")
+        .join(
+            core_clusters.select(F.col("id").alias("t"), "cluster"),
+            "t",
+        )
+        .groupBy("s")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("s").alias("id"), "cluster", F.lit("border").alias("role"))
+    )
+
+    # Materialize labels before dropping the ε-graph cache (localCheckpoint
+    # is eager), so the final join cannot recompute neighbor_pairs.
+    labeled = core_clusters.unionByName(border).localCheckpoint()
+    pairs.unpersist()
+    cores.unpersist()
+    return instances.select("id").join(labeled, "id", "left").select(
+        "id",
+        "cluster",
+        F.coalesce("role", F.lit("noise")).alias("role"),
+    )

@@ -283,48 +283,89 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sig
 
 
-def simhash_duplicates(
-    docs: DataFrame, hamming_max: int = 3, text_col: str = "text"
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    hamming_max: int,
+    bits: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Pairs with simhash Hamming distance <= hamming_max.
+    """Pairs whose ``bits``-wide integer signatures differ in at most
+    ``hamming_max`` bit positions — the shared scale core behind simhash
+    text dedup and phash image dedup.
 
-    Blocking: split the sketch into hamming_max+1 chunks; by
-    pigeonhole two sketches within the distance share at least one exact
+    Blocking: split the signature into hamming_max+1 disjoint chunks that
+    cover all ``bits`` (the last chunk absorbs the remainder); by
+    pigeonhole two signatures within the distance share at least one exact
     chunk, so the equi-join on (chunk_index, chunk_value) is lossless.
+    Candidates are verified with the exact popcount, so the result is
+    exact, never approximate.
     """
     nchunks = hamming_max + 1
-    width = SIMHASH_BITS // nchunks
-    sigs = simhash(docs, text_col)
+    if nchunks > bits:
+        raise ValueError(f"hamming_max {hamming_max} too large for {bits}-bit sigs")
+    width = bits // nchunks
+
+    def chunk(i: int) -> F.Column:
+        lo = i * width
+        w = bits - lo if i == nchunks - 1 else width
+        return (
+            F.shiftrightunsigned(F.col(sig_col), lo)
+            .bitwiseAND(F.lit((1 << w) - 1) if w < 64 else F.lit(-1))
+            .alias("cv")
+        )
+
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias(sig_col),
         F.explode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(nchunks)
-                ]
+                *[F.struct(F.lit(i).alias("ci"), chunk(i)) for i in range(nchunks)]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    ).select("_id", sig_col, "c.ci", "c.cv")
     cand = (
         chunks.alias("l")
         .join(chunks.alias("r"), on=["ci", "cv"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(F.col("l._id") < F.col("r._id"))
         .select(
-            F.col("l.doc_id").alias("a_id"),
-            F.col("r.doc_id").alias("b_id"),
-            F.col("l.simhash").alias("a_sig"),
-            F.col("r.simhash").alias("b_sig"),
+            F.col("l._id").alias("a_id"),
+            F.col("r._id").alias("b_id"),
+            F.col(f"l.{sig_col}").alias("a_sig"),
+            F.col(f"r.{sig_col}").alias("b_sig"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return cand.filter(ham <= hamming_max).select(
         "a_id", "b_id", ham.alias("hamming")
+    )
+
+
+def simhash_duplicates(
+    docs: DataFrame, hamming_max: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Pairs with simhash Hamming distance <= hamming_max (exact — chunk
+    blocking plus popcount verification; see hamming_near_duplicates)."""
+    sigs = simhash(docs, text_col)
+    return hamming_near_duplicates(
+        sigs, hamming_max, SIMHASH_BITS, id_col="doc_id", sig_col="simhash"
+    )
+
+
+def phash_duplicates(images: DataFrame, hamming_max: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    ``images`` is the image table (sources/image_table.py shape) whose
+    64-bit ``phash`` column was computed over *decoded* pixels, so
+    re-encoded/recompressed variants of one image land within a few bits
+    of each other while distinct images differ in ~32.  Same pigeonhole
+    blocking as simhash — bytes never move, only (id, 8-byte sig) rows.
+    """
+    return hamming_near_duplicates(
+        images.select("image_id", "phash"),
+        hamming_max,
+        64,
+        id_col="image_id",
+        sig_col="phash",
     )

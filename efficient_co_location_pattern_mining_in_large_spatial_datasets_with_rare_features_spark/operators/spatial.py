@@ -9,9 +9,13 @@ reproduces bitwise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .cells import compute_bounds, with_cell
 
 
 def point_in_polygon(
@@ -201,6 +205,100 @@ def knn_join(
         fwd.unionByName(rev)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    d: float,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Bichromatic ε-join: every (left, right) pair within Euclidean
+    distance ``d`` (inclusive).
+
+    Both inputs are point tables ``(id string, x double, y double)``
+    (extra columns are dropped).  Unlike the monochromatic
+    ``neighbor_pairs`` self-join (reference src/spatial_index.cpp:43-114),
+    the two sides are distinct tables, so the stencil is the FULL
+    (2r+1)^2 neighborhood probed from the left side only — each (l, r)
+    pair meets in exactly one (right-point cell), no dedup or tie-break
+    needed.  The grid is computed over the union of both bounding boxes
+    so the clamped cell encoding stays consistent across sides.
+
+    Output: ``(a_id, a_x, a_y, b_id, b_x, b_y, dist)`` with a = left,
+    b = right (no canonical flip — the sides are semantically distinct).
+    """
+    if cell_size is None:
+        cell_size = d
+    if not (0 < cell_size <= d):
+        raise ValueError(f"cell_size must be in (0, d], got {cell_size} for d={d}")
+    lpts = left.select("id", "x", "y")
+    rpts = right.select("id", "x", "y")
+    grid = compute_bounds(lpts.unionByName(rpts), cell_size)
+
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    if lpts.rdd.getNumPartitions() < parallelism:
+        lpts = lpts.repartition(parallelism)
+    if rpts.rdd.getNumPartitions() < parallelism:
+        rpts = rpts.repartition(parallelism)
+
+    reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
+    offsets = [
+        (ox, oy)
+        for ox in range(-reach, reach + 1)
+        for oy in range(-reach, reach + 1)
+    ]
+    off_array = F.array(
+        *[F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy")) for ox, oy in offsets]
+    )
+    probe = with_cell(lpts, grid).withColumn("_off", F.explode(off_array)).select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("a_x"),
+        F.col("y").alias("a_y"),
+        (F.col("cell_x") + F.col("_off.ox")).alias("t_cx"),
+        (F.col("cell_y") + F.col("_off.oy")).alias("t_cy"),
+    )
+    build = with_cell(rpts, grid).select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("b_x"),
+        F.col("y").alias("b_y"),
+        F.col("cell_x").alias("t_cx"),
+        F.col("cell_y").alias("t_cy"),
+    )
+    dist = F.sqrt(
+        (F.col("a_x") - F.col("b_x")) ** 2 + (F.col("a_y") - F.col("b_y")) ** 2
+    )
+    return (
+        probe.join(build, ["t_cx", "t_cy"])
+        .filter(dist <= F.lit(float(d)))
+        .select("a_id", "a_x", "a_y", "b_id", "b_x", "b_y", dist.alias("dist"))
+    )
+
+
+def zonal_stats(points: DataFrame, polygons: DataFrame, blocked: bool = True) -> DataFrame:
+    """Per-polygon statistics over the points it contains (zonal stats).
+
+    ``points``: (feature, id, x, y); ``polygons`` as in point_in_polygon.
+    Aggregates are deliberately order-independent (COUNT, COUNT DISTINCT,
+    MIN/MAX) so the result is bitwise deterministic across engines — no
+    cross-row double SUM whose accumulation order Spark does not pin.
+
+    Output: (poly_id, n, n_features, min_x, max_x, min_y, max_y), one row
+    per polygon that contains at least one point.
+    """
+    hits = point_in_polygon(points, polygons, blocked=blocked)
+    return (
+        hits.join(points, "id")
+        .groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("feature").alias("n_features"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
     )
 
 

@@ -75,3 +75,59 @@ def test_mining_through_image_table_matches_direct(spark, sample_instances):
     derived = derive_instances(synthesize_image_table(sample_instances))
     res = eng.ColocationMiner(spark, eng.ColocationConfig(5.0, 0.6)).mine(derived)
     assert res.pair_count == 48 and len(res.patterns) == 7
+
+
+def test_phash_duplicates_matches_bruteforce(spark, sample_instances):
+    import itertools
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        phash_duplicates,
+    )
+
+    images = synthesize_image_table(sample_instances)
+    sigs = {r.image_id: r.phash for r in images.select("image_id", "phash").collect()}
+    for t in (0, 4, 10):
+        got = {
+            (r.a_id, r.b_id, r.hamming) for r in phash_duplicates(images, t).collect()
+        }
+        expect = {
+            (min(a, b), max(a, b), bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+            for a, b in itertools.combinations(sigs, 2)
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= t
+        }
+        assert got == expect, t
+
+
+def test_hamming_near_duplicates_remainder_chunks_and_sign(spark):
+    # 64-bit sigs with the top bit set (negative longs) and a chunk layout
+    # with a remainder (64 % 9 != 0): the blocking must stay lossless.
+    import itertools
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        hamming_near_duplicates,
+    )
+
+    def i64(u):  # unsigned 64-bit -> signed long
+        return ((u + 2**63) % 2**64) - 2**63
+
+    base = (1 << 63) | 0x1234  # top bit set -> negative long
+    rows = [
+        ("s0", i64(base)),
+        ("s1", i64(base ^ 0b1)),                    # ham 1
+        ("s2", i64(base ^ (0b11 << 60))),           # ham 2, high bits
+        ("s3", i64(base ^ ((1 << 63) - 1) // 3)),   # far away
+        ("s4", i64(base ^ (0xFF << 56))),           # ham 8, all in top chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, sig long")
+    sigs = dict(rows)
+    for t in (1, 2, 8):
+        got = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in hamming_near_duplicates(df, t, 64).collect()
+        }
+        expect = {
+            (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= t
+        }
+        assert got == expect, t

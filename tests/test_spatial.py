@@ -183,3 +183,81 @@ def test_knn_join_matches_bruteforce(spark):
             if rank <= 3:
                 expect.add((i, j, rank))
     assert out == expect
+
+
+def test_distance_join_matches_bruteforce(spark):
+    import math
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    lrows = [(f"l{i}", float((i * 37) % 50), float((i * 61) % 50)) for i in range(40)]
+    rrows = [(f"r{i}", float((i * 17) % 50 + 0.5), float((i * 29) % 50)) for i in range(35)]
+    left = _pts(spark, lrows)
+    right = _pts(spark, rrows)
+    for d, cs in [(9.0, None), (9.0, 3.0), (2.0, None)]:
+        got = {(r.a_id, r.b_id) for r in distance_join(left, right, d, cell_size=cs).collect()}
+        expect = {
+            (li, ri)
+            for li, lx, ly in lrows
+            for ri, rx, ry in rrows
+            if math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2) <= d
+        }
+        assert got == expect, (d, cs)
+    # asymmetric: left/right are NOT interchangeable in the output shape
+    one = distance_join(left, right, 9.0).collect()[0]
+    assert one.a_id.startswith("l") and one.b_id.startswith("r")
+
+
+def test_distance_join_validates_cell_size(spark):
+    import pytest
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    df = _pts(spark, [("a", 0.0, 0.0)])
+    with pytest.raises(ValueError):
+        distance_join(df, df, 5.0, cell_size=6.0)
+
+
+def test_zonal_stats(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        zonal_stats,
+    )
+
+    polys = spark.createDataFrame(
+        [
+            (0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),
+            (1, [20.0, 30.0, 30.0, 20.0], [0.0, 0.0, 10.0, 10.0]),
+            (2, [50.0, 60.0, 60.0, 50.0], [50.0, 50.0, 60.0, 60.0]),  # empty
+        ],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("A", "a1", 2.0, 2.0),
+            ("A", "a2", 8.0, 3.0),
+            ("B", "b1", 5.0, 5.0),
+            ("B", "b2", 25.0, 5.0),
+            ("C", "c1", 100.0, 100.0),
+        ],
+        "feature string, id string, x double, y double",
+    )
+    got = {r.poly_id: r for r in zonal_stats(pts, polys).collect()}
+    assert set(got) == {0, 1}  # empty polygon emits no row
+    assert (got[0].n, got[0].n_features) == (3, 2)
+    assert (got[0].min_x, got[0].max_x, got[0].min_y, got[0].max_y) == (2.0, 8.0, 2.0, 5.0)
+    assert (got[1].n, got[1].n_features) == (1, 1)
+
+
+def test_distance_join_plan_has_no_nested_loop(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    left = _pts(spark, [(f"l{i}", float(i), 0.0) for i in range(50)])
+    right = _pts(spark, [(f"r{i}", float(i), 1.0) for i in range(50)])
+    plan = distance_join(left, right, 3.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
