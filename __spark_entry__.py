@@ -605,6 +605,79 @@ def _q_images_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_duplicates(synthesize_image_table(inst), hamming_max=4)
 
 
+def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi*-style per-cell hotspot z-scores over the tile grid."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        hotspot_scores,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return hotspot_scores(inst, grid)
+
+
+ST_TAU_SECONDS = 6 * 3600
+
+
+def _q_spatiotemporal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor pairs constrained in BOTH space (<= D) and time (<= tau):
+    the event timestamp rides through the stencil join via extra_cols
+    instead of being re-joined afterwards."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+        X_SQL,
+        Y_SQL,
+    )
+
+    inst = ev.select(
+        F.col("event_type").alias("feature"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("id"),
+        F.expr(X_SQL).alias("x"),
+        F.expr(Y_SQL).alias("y"),
+        F.unix_timestamp("ts").alias("tse"),
+    )
+    pairs = neighbor_pairs(inst, D, extra_cols=("tse",))
+    dt = F.abs(F.col("a_tse") - F.col("b_tse"))
+    return pairs.filter(dt <= ST_TAU_SECONDS).select(
+        "a_feature", "a_id", "b_feature", "b_id", "dist",
+        dt.alias("dt_seconds"),
+    )
+
+
+def _q_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stream-static neighbor join drained with availableNow over
+    the static instance table: must equal both orientations of the batch
+    pair set (streaming/pair_stream.py contract)."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.pair_stream import (
+        streaming_neighbor_pairs,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    tmp = tempfile.mkdtemp(prefix="pair_stream_src_")
+    inst.write.mode("overwrite").parquet(tmp)
+    name = f"pair_stream_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_neighbor_pairs(spark, tmp, inst, D, grid)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pair_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # money as integer cents: double summation order is engine-dependent
@@ -798,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "dbscan_clusters": _q_dbscan,
         "images_phash_dupes": _q_images_phash_dupes,
+        "hotspot_cells": _q_hotspot_cells,
+        "spatiotemporal_pairs": _q_spatiotemporal_pairs,
+        "pairs_stream_backfill": _q_pairs_stream_backfill,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
@@ -1126,6 +1202,69 @@ SELECT l.id AS a_id, l.x AS a_x, l.y AS a_y,
        SQRT((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)) AS dist
 FROM l JOIN r
   ON SQRT((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)) <= {D!r}
+""",
+        "hotspot_cells": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE},
+counts AS (SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+g AS (SELECT COUNT(*) AS nn, SUM(n) AS tot, SUM(n * n) AS totsq FROM counts),
+offs AS (
+  SELECT a.ox, b.oy
+  FROM generate_series(-1, 1) a(ox) CROSS JOIN generate_series(-1, 1) b(oy)
+),
+nbr AS (
+  SELECT c.cell_x AS p_x, c.cell_y AS p_y,
+         SUM(t.n) AS nbr_sum, COUNT(*) AS nbr_cells
+  FROM counts c
+  JOIN offs o ON TRUE
+  JOIN counts t
+    ON t.cell_x = c.cell_x + o.ox AND t.cell_y = c.cell_y + o.oy
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.cell_x, c.cell_y, c.n, nbr.nbr_sum, nbr.nbr_cells,
+         CAST(g.tot AS DOUBLE) / CAST(g.nn AS DOUBLE) AS mean,
+         SQRT(CAST(g.totsq AS DOUBLE) / CAST(g.nn AS DOUBLE)
+              - (CAST(g.tot AS DOUBLE) / CAST(g.nn AS DOUBLE))
+                * (CAST(g.tot AS DOUBLE) / CAST(g.nn AS DOUBLE))) AS s,
+         CAST(nbr.nbr_cells AS DOUBLE) AS k,
+         CAST(g.nn AS DOUBLE) AS nnd
+  FROM counts c
+  JOIN nbr ON nbr.p_x = c.cell_x AND nbr.p_y = c.cell_y
+  CROSS JOIN g
+)
+SELECT cell_x, cell_y, n, nbr_sum, nbr_cells,
+       CASE WHEN s * SQRT((nnd * k - k * k) / (nnd - CAST(1 AS DOUBLE))) > 0
+            THEN ROUND((CAST(nbr_sum AS DOUBLE) - k * mean)
+                       / (s * SQRT((nnd * k - k * k) / (nnd - CAST(1 AS DOUBLE)))), 9)
+       END AS gi
+FROM scored
+""",
+        "spatiotemporal_pairs": f"""
+WITH inst AS (
+  SELECT event_type AS feature,
+         event_type || '#' || CAST(event_id AS VARCHAR) AS id,
+         ((((event_id * event_id) % 99991) * 31 + event_id * 48271 + 11) % 99991) / CAST(100 AS DOUBLE) AS x,
+         ((((event_id * event_id) % 99991) * 57 + event_id * 69621 + 17) % 99991) / CAST(100 AS DOUBLE) AS y,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse
+  FROM events
+)
+SELECT a.feature AS a_feature, a.id AS a_id,
+       b.feature AS b_feature, b.id AS b_id,
+       SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist,
+       ABS(a.tse - b.tse) AS dt_seconds
+FROM inst a JOIN inst b
+  ON a.id < b.id
+ AND a.feature <> b.feature
+ AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {D!r}
+ AND ABS(a.tse - b.tse) <= {ST_TAU_SECONDS}
+""",
+        "pairs_stream_backfill": f"""
+WITH {_INSTANCES_CTE}, {_PAIRS_CTE}
+SELECT a_feature, a_id, b_feature, b_id, dist FROM pairs
+UNION ALL
+SELECT b_feature AS a_feature, b_id AS a_id,
+       a_feature AS b_feature, a_id AS b_id, dist
+FROM pairs
 """,
         "dbscan_clusters": f"""
 WITH RECURSIVE {_INSTANCES_CTE},

@@ -60,17 +60,23 @@ def neighbor_pairs(
     adaptive_cell_split: bool = False,
     grid: GridSpec | None = None,
     cross_feature_only: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All unordered cross-feature instance pairs within distance ``d``.
 
     ``cross_feature_only=False`` keeps same-feature pairs too (the kNN-join
     contract); the mining path always uses the default cross-feature form
-    (reference src/spatial_index.cpp:83).
+    (reference src/spatial_index.cpp:83).  ``extra_cols`` names additional
+    instance columns to carry through the stencil join (e.g. ``ts`` for
+    spatiotemporal predicates) — they appear as ``a_<col>``/``b_<col>`` in
+    the output; carrying them here costs one wider shuffle row, versus two
+    full re-joins on id if attached afterwards.
     """
     if cell_size is None:
         cell_size = d
     if not (0 < cell_size <= d):
         raise ValueError(f"cell_size must be in (0, d], got {cell_size} for d={d}")
+    cols = _INST_COLS + tuple(c for c in extra_cols if c not in _INST_COLS)
 
     if grid is None:
         grid = compute_bounds(instances, cell_size)
@@ -124,7 +130,7 @@ def neighbor_pairs(
     else:
         build = build.withColumn("bucket", F.lit(-1))
     build = build.select(
-        *[F.col(c).alias(f"b_{c}") for c in _INST_COLS],
+        *[F.col(c).alias(f"b_{c}") for c in cols],
         F.col("cell_x").alias("b_cx"),
         F.col("cell_y").alias("b_cy"),
         F.col("bucket").alias("b_bucket"),
@@ -138,7 +144,7 @@ def neighbor_pairs(
         ]
     )
     probe = cells.withColumn("_off", F.explode(off_array)).select(
-        *[F.col(c).alias(f"a_{c}") for c in _INST_COLS],
+        *[F.col(c).alias(f"a_{c}") for c in cols],
         (F.col("cell_x") + F.col("_off.ox")).alias("t_cx"),
         (F.col("cell_y") + F.col("_off.oy")).alias("t_cy"),
         ((F.col("_off.ox") == 0) & (F.col("_off.oy") == 0)).alias("same_cell"),
@@ -186,7 +192,11 @@ def neighbor_pairs(
         feature_pred
         & (~F.col("same_cell") | (F.col("a_id") < F.col("b_id")))
         & (dist <= F.lit(float(d)))
-    ).select("a_feature", "a_id", "a_x", "a_y", "b_feature", "b_id", "b_x", "b_y", dist.alias("dist"))
+    ).select(
+        *[f"a_{c}" for c in cols],
+        *[f"b_{c}" for c in cols],
+        dist.alias("dist"),
+    )
 
     # Canonical orientation: a_id < b_id (output set is orientation-free;
     # this makes the result deterministic for hashing/diffing).
@@ -198,7 +208,7 @@ def neighbor_pairs(
         ).alias(f"{prefix_out}_{c}")
 
     return pairs.select(
-        *[side("a", "a", "b", c) for c in _INST_COLS],
-        *[side("b", "b", "a", c) for c in _INST_COLS],
+        *[side("a", "a", "b", c) for c in cols],
+        *[side("b", "b", "a", c) for c in cols],
         "dist",
     )

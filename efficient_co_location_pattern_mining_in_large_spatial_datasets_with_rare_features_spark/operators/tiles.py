@@ -96,3 +96,89 @@ def raster_to_vector(raster: DataFrame, grid: GridSpec) -> DataFrame:
 
 def vector_to_raster(vector: DataFrame, grid: GridSpec) -> DataFrame:
     return raster_tiles(vector.select("cell_x", "cell_y", "n"), grid)
+
+
+def hotspot_scores(instances: DataFrame, grid: GridSpec) -> DataFrame:
+    """Getis-Ord Gi*-style hotspot z-score per non-empty grid cell.
+
+    For each cell i with 3x3 neighborhood (over cells that exist in the
+    counts table):  gi = (S_i - k_i * mean) / (s * sqrt((N*k_i - k_i^2) /
+    (N - 1)))  where S_i = neighborhood count sum, k_i = neighborhood cell
+    count, N / mean / s are the global cell count, mean and population
+    stddev of per-cell counts.
+
+    All aggregates are integer sums (count, sum, sum of squares), so the
+    doubles are derived through one identical expression on both engines —
+    the result is rounded to 9 dp anyway as cross-engine insurance.  The
+    neighborhood sum is a 9-offset stencil equi-join on the counts table
+    (the same shuffle shape as neighbor_pairs, but over cells, which are
+    orders of magnitude fewer than instances).  Cells on the grid edge
+    simply have fewer existing neighbors (k_i < 9) — the Gi* denominator
+    accounts for k_i.
+
+    Output: (cell_x, cell_y, n, nbr_sum, nbr_cells, gi), gi = NULL when the
+    variance is zero or N < 2 (degenerate grids).
+    """
+    counts = tile_counts(instances, grid).persist()
+    g = counts.agg(
+        F.count("*").alias("nn"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("totsq"),
+    ).collect()[0]
+    n_cells, tot, totsq = int(g["nn"]), int(g["tot"] or 0), int(g["totsq"] or 0)
+    if n_cells < 2:
+        out = counts.select(
+            "cell_x", "cell_y", "n",
+            F.col("n").alias("nbr_sum"),
+            F.lit(1).cast("long").alias("nbr_cells"),
+            F.lit(None).cast("double").alias("gi"),
+        )
+        counts.unpersist()
+        return out
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+        ]
+    )
+    probe = counts.withColumn("_o", F.explode(offs)).select(
+        F.col("cell_x").alias("p_x"),
+        F.col("cell_y").alias("p_y"),
+        (F.col("cell_x") + F.col("_o.ox")).alias("t_x"),
+        (F.col("cell_y") + F.col("_o.oy")).alias("t_y"),
+    )
+    nbr = (
+        probe.join(
+            counts.select(
+                F.col("cell_x").alias("t_x"),
+                F.col("cell_y").alias("t_y"),
+                F.col("n").alias("t_n"),
+            ),
+            ["t_x", "t_y"],
+        )
+        .groupBy("p_x", "p_y")
+        .agg(F.sum("t_n").alias("nbr_sum"), F.count("*").alias("nbr_cells"))
+    )
+    mean = F.lit(float(tot)) / F.lit(float(n_cells))
+    s = F.sqrt(
+        F.lit(float(totsq)) / F.lit(float(n_cells)) - mean * mean
+    )
+    k = F.col("nbr_cells").cast("double")
+    denom = s * F.sqrt(
+        (F.lit(float(n_cells)) * k - k * k) / F.lit(float(n_cells - 1))
+    )
+    gi = F.round((F.col("nbr_sum").cast("double") - k * mean) / denom, 9)
+    out = (
+        counts.join(
+            nbr,
+            (F.col("cell_x") == F.col("p_x")) & (F.col("cell_y") == F.col("p_y")),
+        )
+        .select(
+            "cell_x", "cell_y", "n",
+            "nbr_sum", "nbr_cells",
+            F.when(denom > 0, gi).alias("gi"),
+        )
+    )
+    return out

@@ -90,3 +90,74 @@ def test_exact_boundary_distance_inclusive(spark):
     df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
     assert neighbor_pairs(df, 5.0).count() == 1
     assert neighbor_pairs(df, 4.999).count() == 0
+
+
+def test_neighbor_pairs_extra_cols_ride_through(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.pairs import (
+        neighbor_pairs,
+    )
+
+    rows = [
+        ("A", "a1", 0.0, 0.0, 100),
+        ("B", "b1", 1.0, 0.0, 250),
+        ("C", "c1", 0.0, 1.0, 400),
+    ]
+    df = spark.createDataFrame(
+        rows, "feature string, id string, x double, y double, tse long"
+    )
+    out = neighbor_pairs(df, 2.0, extra_cols=("tse",)).collect()
+    tse = {r[1]: r[4] for r in rows}
+    assert len(out) == 3
+    for r in out:
+        assert r.a_tse == tse[r.a_id] and r.b_tse == tse[r.b_id]
+    # extra col must follow the canonical a_id < b_id flip
+    assert all(r.a_id < r.b_id for r in out)
+    # and the base output is unchanged when extra_cols is empty
+    base = neighbor_pairs(df, 2.0)
+    assert base.columns == [
+        "a_feature", "a_id", "a_x", "a_y",
+        "b_feature", "b_id", "b_x", "b_y", "dist",
+    ]
+
+
+def test_streaming_pairs_equal_batch(spark, tmp_path):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        compute_bounds,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.pairs import (
+        neighbor_pairs,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.pair_stream import (
+        streaming_neighbor_pairs,
+    )
+
+    rows = [
+        (f"F{i % 4}", f"p{i:02d}", float((i * 37) % 40), float((i * 61) % 40))
+        for i in range(80)
+    ]
+    inst = spark.createDataFrame(
+        rows, "feature string, id string, x double, y double"
+    )
+    d = 7.0
+    grid = compute_bounds(inst, d)
+    src = str(tmp_path / "src")
+    inst.write.parquet(src)
+    sdf = streaming_neighbor_pairs(spark, src, inst, d, grid)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pairs_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.a_id, r.b_id, round(r.dist, 9))
+        for r in spark.table("pairs_stream_test").collect()
+    }
+    batch = neighbor_pairs(inst, d).collect()
+    expect = {(r.a_id, r.b_id, round(r.dist, 9)) for r in batch} | {
+        (r.b_id, r.a_id, round(r.dist, 9)) for r in batch
+    }
+    assert got == expect

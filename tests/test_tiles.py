@@ -103,3 +103,55 @@ def test_streaming_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_hotspot_scores_match_bruteforce(spark):
+    import math
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        GridSpec,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        hotspot_scores,
+    )
+
+    # clustered points on a 10x10 grid of cell size 1
+    rows = [
+        ("A", f"p{i}", float((i * 7) % 10) + 0.5, float((i * 3) % 10) + 0.5)
+        for i in range(200)
+    ] + [("B", f"h{i}", 4.5 + (i % 3) * 0.1, 4.5) for i in range(60)]  # hot cell
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 1.0)
+    got = {
+        (r.cell_x, r.cell_y): (r.n, r.nbr_sum, r.nbr_cells, r.gi)
+        for r in hotspot_scores(df, grid).collect()
+    }
+    # brute force
+    counts = {}
+    for _, _, x, y in rows:
+        c = (min(int(x // 1), 9), min(int(y // 1), 9))
+        counts[c] = counts.get(c, 0) + 1
+    N = len(counts)
+    tot = sum(counts.values())
+    totsq = sum(v * v for v in counts.values())
+    mean = float(tot) / float(N)
+    s = math.sqrt(float(totsq) / float(N) - mean * mean)
+    assert set(got) == set(counts)
+    for (cx, cy), n in counts.items():
+        nbr = [
+            counts[(cx + ox, cy + oy)]
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+            if (cx + ox, cy + oy) in counts
+        ]
+        S, k = sum(nbr), float(len(nbr))
+        denom = s * math.sqrt((N * k - k * k) / float(N - 1))
+        gi = round((float(S) - k * mean) / denom, 9) if denom > 0 else None
+        assert got[(cx, cy)][0] == n
+        assert got[(cx, cy)][1] == S and got[(cx, cy)][2] == len(nbr)
+        if gi is None:
+            assert got[(cx, cy)][3] is None
+        else:
+            assert abs(got[(cx, cy)][3] - gi) < 1e-9, (cx, cy)
+    # the planted hot cell must be the max z-score
+    assert max(got, key=lambda c: (got[c][3] or -99)) == (4, 4)
