@@ -20,13 +20,14 @@ Physical plan (Spark-first):
 1. ε-pairs from the grid-cell stencil join (pairs.neighbor_pairs with the
    feature filter off) — never an all-pairs product;
 2. degree count -> core flag (one shuffle);
-3. connected components over core-core edges by *star contraction*: each
-   round every node relabels to min(self, min ε-neighbor label) and edges
-   contract to distinct (label_u, label_v) — components halve in diameter
-   per round, so rounds = O(log diameter); each round shuffles only the
-   shrinking edge set plus a constant-width label map.  Lineage is cut per
-   round with localCheckpoint, the same discipline as the miner's level
-   loop (plans/miner.py).
+3. connected components over core-core edges by *star contraction* with
+   in-round pointer doubling (O(log n) rounds even on path graphs); each
+   round shuffles only the shrinking edge set plus a constant-width label
+   map.  Lineage AND stats are cut per round via ``_cut`` (plain
+   localCheckpoint compounds size estimates — see its docstring).  Once
+   the contracted graph drops below ``driver_finish_edges`` the remainder
+   finishes with driver-side union-find, mirroring the miner's driver-side
+   candidate bookkeeping (plans/miner.py).
 4. border assignment = one broadcast-or-hash join of non-core points'
    core neighbors against the label map.
 
