@@ -46,6 +46,8 @@ from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_fe
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
     DEFAULT_D,
     DEFAULT_MIN_PREV,
+    X_SQL,
+    Y_SQL,
     instances_from_events,
 )
 
@@ -61,13 +63,15 @@ EMB_DUP_T = 0.9
 
 # ---------------------------------------------------------------- SQL CTEs
 
-#: instance derivation (events_source.py contract)
-_INSTANCES_CTE = """
+#: instance derivation (events_source.py contract; X_SQL/Y_SQL are the
+#: single source of truth for the coordinate hash — Spark applies the same
+#: strings via F.expr)
+_INSTANCES_CTE = f"""
 instances AS (
   SELECT event_type AS feature,
          event_type || '#' || CAST(event_id AS VARCHAR) AS id,
-         ((((event_id * event_id) % 99991) * 31 + event_id * 48271 + 11) % 99991) / CAST(100 AS DOUBLE) AS x,
-         ((((event_id * event_id) % 99991) * 57 + event_id * 69621 + 17) % 99991) / CAST(100 AS DOUBLE) AS y
+         {X_SQL} AS x,
+         {Y_SQL} AS y
   FROM events
 )
 """
@@ -666,15 +670,9 @@ def _q_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst.write.mode("overwrite").parquet(tmp)
     name = f"pair_stream_{uuid.uuid4().hex[:8]}"
     sdf = streaming_neighbor_pairs(spark, tmp, inst, D, grid)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pair_stream_ck_"))
-        .trigger(availableNow=True)
-        .start()
+    run_available_now(
+        sdf, tempfile.mkdtemp(prefix="pair_stream_ck_"), name, output_mode="append"
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -1243,8 +1241,8 @@ FROM scored
 WITH inst AS (
   SELECT event_type AS feature,
          event_type || '#' || CAST(event_id AS VARCHAR) AS id,
-         ((((event_id * event_id) % 99991) * 31 + event_id * 48271 + 11) % 99991) / CAST(100 AS DOUBLE) AS x,
-         ((((event_id * event_id) % 99991) * 57 + event_id * 69621 + 17) % 99991) / CAST(100 AS DOUBLE) AS y,
+         {X_SQL} AS x,
+         {Y_SQL} AS y,
          CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse
   FROM events
 )

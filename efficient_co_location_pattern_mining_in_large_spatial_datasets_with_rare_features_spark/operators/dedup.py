@@ -301,6 +301,8 @@ def hamming_near_duplicates(
     Candidates are verified with the exact popcount, so the result is
     exact, never approximate.
     """
+    if hamming_max < 0:
+        raise ValueError(f"hamming_max must be >= 0, got {hamming_max}")
     nchunks = hamming_max + 1
     if nchunks > bits:
         raise ValueError(f"hamming_max {hamming_max} too large for {bits}-bit sigs")

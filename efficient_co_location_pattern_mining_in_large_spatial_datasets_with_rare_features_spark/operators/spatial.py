@@ -23,6 +23,7 @@ def point_in_polygon(
     polygons: DataFrame,
     blocked: bool = True,
     cell_size: float | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(point id, poly_id) pairs where the point lies inside the polygon.
 
@@ -48,6 +49,10 @@ def point_in_polygon(
     aggregate).  ``blocked=False`` is the exact all-pairs baseline for
     small inputs; both paths apply the same bbox pre-filter and exact
     predicate, so the output is identical either way.
+
+    ``keep_cols`` names extra point columns to keep in the output (they
+    are already in flight through the join — cheaper than the caller
+    re-joining the points table on id afterwards).
     """
     n = F.size("xs")
     idx = F.sequence(F.lit(0), n - 1)
@@ -107,7 +112,7 @@ def point_in_polygon(
         )
         if not res_values:  # no polygons at all
             return points.limit(0).crossJoin(polygons.limit(0)).select(
-                "id", "poly_id"
+                "id", "poly_id", *keep_cols
             )
         pts = points.withColumn(
             "res", F.explode(F.array(*[F.lit(r) for r in res_values]))
@@ -119,7 +124,7 @@ def point_in_polygon(
         joined = pts.join(pcells, ["res", "cell_x", "cell_y"]).filter(bbox)
     else:
         joined = points.crossJoin(polygons).filter(bbox)
-    return joined.filter(crossings % 2 == 1).select("id", "poly_id")
+    return joined.filter(crossings % 2 == 1).select("id", "poly_id", *keep_cols)
 
 
 def knn(
@@ -285,12 +290,15 @@ def zonal_stats(points: DataFrame, polygons: DataFrame, blocked: bool = True) ->
     cross-row double SUM whose accumulation order Spark does not pin.
 
     Output: (poly_id, n, n_features, min_x, max_x, min_y, max_y), one row
-    per polygon that contains at least one point.
+    per polygon that contains at least one point.  feature/x/y ride the
+    containment join via ``keep_cols`` — no second join of the points
+    table.
     """
-    hits = point_in_polygon(points, polygons, blocked=blocked)
+    hits = point_in_polygon(
+        points, polygons, blocked=blocked, keep_cols=("feature", "x", "y")
+    )
     return (
-        hits.join(points, "id")
-        .groupBy("poly_id")
+        hits.groupBy("poly_id")
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("feature").alias("n_features"),

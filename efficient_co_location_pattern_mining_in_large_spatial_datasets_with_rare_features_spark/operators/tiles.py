@@ -119,7 +119,9 @@ def hotspot_scores(instances: DataFrame, grid: GridSpec) -> DataFrame:
     Output: (cell_x, cell_y, n, nbr_sum, nbr_cells, gi), gi = NULL when the
     variance is zero or N < 2 (degenerate grids).
     """
-    counts = tile_counts(instances, grid).persist()
+    # one-shot materialization (not persist: nothing unpins a cache the
+    # caller never sees; the checkpoint is dropped with its RDD reference)
+    counts = tile_counts(instances, grid).localCheckpoint()
     g = counts.agg(
         F.count("*").alias("nn"),
         F.sum("n").alias("tot"),
@@ -127,14 +129,12 @@ def hotspot_scores(instances: DataFrame, grid: GridSpec) -> DataFrame:
     ).collect()[0]
     n_cells, tot, totsq = int(g["nn"]), int(g["tot"] or 0), int(g["totsq"] or 0)
     if n_cells < 2:
-        out = counts.select(
+        return counts.select(
             "cell_x", "cell_y", "n",
             F.col("n").alias("nbr_sum"),
             F.lit(1).cast("long").alias("nbr_cells"),
             F.lit(None).cast("double").alias("gi"),
         )
-        counts.unpersist()
-        return out
 
     offs = F.array(
         *[

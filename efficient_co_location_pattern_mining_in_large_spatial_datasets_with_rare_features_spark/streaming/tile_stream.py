@@ -53,15 +53,20 @@ def streaming_tile_counts(
 
 
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, out_table: str
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_table: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently in the source into an in-memory sink and
     stop — the batch-equivalence test path and a resumable backfill runner
-    (the checkpoint makes reruns incremental)."""
+    (the checkpoint makes reruns incremental).  ``output_mode`` is
+    "complete" for aggregations, "append" for stateless plans (e.g. the
+    stream-static neighbor join)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
