@@ -52,6 +52,16 @@ class ColocationConfig:
     checkpoint_dir: str | None = None
     persist_intermediates: bool = True
 
+    #: opt-in HyperLogLog++ participation counts: relative standard
+    #: deviation for ``approx_count_distinct`` (e.g. 0.01), or None for the
+    #: reference-exact ``countDistinct`` (default).  At extreme scale the
+    #: exact distinct per (pattern, position) is the costliest aggregation
+    #: in the plan; HLL sketches combine map-side and shuffle O(1) state
+    #: per group.  Patterns whose WPI sits within ~rsd of min_prevalence
+    #: may flip relative to the exact run — use for exploratory passes,
+    #: never for golden comparisons.
+    approx_rsd: float | None = None
+
     def effective_cell_size(self) -> float:
         c = self.cell_size if self.cell_size is not None else self.neighbor_distance
         if c <= 0:

@@ -385,6 +385,17 @@ class ColocationMiner:
             )
         )
 
+    def _ndistinct(self, col: str) -> F.Column:
+        """Participation distinct-count aggregate: reference-exact
+        ``countDistinct`` by default, HyperLogLog++ sketch when the config
+        opts into ``approx_rsd`` (constant state per group instead of a
+        distinct shuffle — the scale lever for the heaviest agg in the
+        plan).  The id-hash injectivity check never uses this: a collision
+        probe must be exact by definition."""
+        if self.config.approx_rsd is not None:
+            return F.approx_count_distinct(col, self.config.approx_rsd)
+        return F.countDistinct(col)
+
     def _participation(
         self, t_k: DataFrame
     ) -> tuple[dict[int, dict[int, int]], dict[int, int]]:
@@ -394,7 +405,7 @@ class ColocationMiner:
         rows = (
             t_k.select(F.col("pid"), F.posexplode(F.col("inst")))
             .groupBy("pid", "pos")
-            .agg(F.countDistinct("col").alias("n"), F.count("*").alias("rows"))
+            .agg(self._ndistinct("col").alias("n"), F.count("*").alias("rows"))
             .collect()
         )
         part: dict[int, dict[int, int]] = {}
@@ -536,8 +547,8 @@ class ColocationMiner:
                 for r in (
                     edges.groupBy("center_feature", "nbr_feature")
                     .agg(
-                        F.countDistinct("center_id").alias("n0"),
-                        F.countDistinct("nbr_id").alias("n1"),
+                        self._ndistinct("center_id").alias("n0"),
+                        self._ndistinct("nbr_id").alias("n1"),
                         F.count("*").alias("rows"),
                     )
                     .collect()
@@ -670,8 +681,8 @@ class ColocationMiner:
         k2_rows = (
             edges.groupBy("center_feature", "nbr_feature")
             .agg(
-                F.countDistinct("center_id").alias("n0"),
-                F.countDistinct("nbr_id").alias("n1"),
+                self._ndistinct("center_id").alias("n0"),
+                self._ndistinct("nbr_id").alias("n1"),
                 F.count("*").alias("rows"),
             )
             .collect()

@@ -161,3 +161,18 @@ def test_resume_respects_checkpoint_encoding(spark, sample_instances, tmp_path):
     res_resumed = eng.ColocationMiner(spark, cfg).mine(dup, resume=True)
     assert sorted(res_resumed.patterns) == sorted(res_full.patterns)
     assert res_resumed.pair_count == res_full.pair_count
+
+
+def test_approx_participation_matches_exact_on_sample(spark, sample_instances):
+    import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
+
+    exact = eng.ColocationMiner(
+        spark, eng.ColocationConfig(5.0, 0.6)
+    ).mine(sample_instances)
+    approx = eng.ColocationMiner(
+        spark, eng.ColocationConfig(5.0, 0.6, approx_rsd=0.01)
+    ).mine(sample_instances)
+    # HLL++ is exact at these cardinalities (sparse mode); the opt-in knob
+    # must not change semantics anywhere else in the plan
+    assert set(approx.patterns) == set(exact.patterns)
+    assert approx.pair_count == exact.pair_count
