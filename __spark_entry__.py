@@ -1158,9 +1158,12 @@ cb AS (
   FROM qemb c JOIN bucketed b ON c.vec_id = b.vec_id
 ),
 scored AS (
+  -- multiprobe: query probes its band signature plus all r one-bit flips,
+  -- i.e. candidates are band signatures within Hamming distance 1
   SELECT DISTINCT qb.query_id, cb.neighbor_id,
          CAST(list_dot_product(qb.qv, cb.cv) AS BIGINT) AS dot
-  FROM qb JOIN cb ON qb.band = cb.band AND qb.sig = cb.sig
+  FROM qb JOIN cb ON qb.band = cb.band
+                 AND bit_count(xor(qb.sig, cb.sig)) <= 1
   WHERE qb.query_id <> cb.neighbor_id
 ),
 ranked AS (

@@ -103,15 +103,24 @@ def lsh_topk(
     bands: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k via banded hyperplane LSH (OR across ``bands``
     tables of ``r`` planes): score only candidates sharing at least one
     band signature with the query.
 
+    ``multiprobe=True`` (default) additionally probes each query band's r
+    single-bit-flip neighbor signatures — the classic multiprobe trick.
+    Probing is QUERY-side only (queries are few and broadcast), so the
+    corpus bucketing is untouched; per band the match probability rises
+    from p^r to p^r + r*p^(r-1)*(1-p), which lifts realized recall several-
+    fold on unstructured corpora at the cost of ~(1+r)x more candidates
+    per query (still corpus-sublinear).
+
     Recall < 1 by design — the scale path when a full scan is too
     expensive; bench.py measures realized recall vs cosine_topk every run.
-    For a neighbor at cosine s, per-plane agreement p = 1 - acos(s)/pi and
-    recall = 1 - (1 - p^r)^bands: >= 0.999 at s >= 0.8 with the defaults,
+    For a neighbor at cosine s, per-plane agreement p = 1 - acos(s)/pi —
+    with the defaults recall >= 0.999 at s >= 0.8 even without multiprobe,
     degrading on unstructured (near-orthogonal) corpora where true top-k
     neighbors are barely closer than random — a data property, not a
     construction defect.  Same output shape as cosine_topk.
@@ -135,6 +144,14 @@ def lsh_topk(
     q = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "sig"
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(r)],
+        )
+        q = q.select(
+            "query_id", "qv", "band", F.explode(probes).alias("sig")
+        )
     c = base.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "sig"
     )
