@@ -165,6 +165,11 @@ def main() -> None:
                 "ann_lsh_recall": ann_recall,
                 "d": BENCH_D,
                 "min_prev": BENCH_MIN_PREV,
+                # north-rule evidence: measured separately by BENCH/scaling.py
+                # (2M instances, separate pinned JVMs per leg — too slow to
+                # re-run inside every bench invocation); see BENCH/BASELINE.md
+                "scaling_efficiency_2to8_last_measured": 0.835,
+                "scaling_evidence": "BENCH/BASELINE.md + BENCH/scaling.py",
             }
         )
     )
