@@ -105,3 +105,15 @@ def test_dbscan_min_pts_validation(spark):
     )
     with pytest.raises(ValueError):
         dbscan(df, 1.0, 0)
+
+
+def test_dbscan_empty_and_single(spark):
+    empty = spark.createDataFrame(
+        [], "feature string, id string, x double, y double"
+    )
+    assert dbscan(empty, 1.0, 2).count() == 0
+    one = spark.createDataFrame(
+        [("A", "only", 0.0, 0.0)], "feature string, id string, x double, y double"
+    )
+    out = dbscan(one, 1.0, 2).collect()
+    assert [(r.id, r.cluster, r.role) for r in out] == [("only", None, "noise")]

@@ -261,3 +261,26 @@ def test_distance_join_plan_has_no_nested_loop(spark):
     right = _pts(spark, [(f"r{i}", float(i), 1.0) for i in range(50)])
     plan = distance_join(left, right, 3.0)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_distance_join_empty_sides(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    pts = _pts(spark, [("a", 0.0, 0.0)])
+    empty = pts.limit(0)
+    assert distance_join(pts, empty, 5.0).count() == 0
+    assert distance_join(empty, pts, 5.0).count() == 0
+
+
+def test_zonal_stats_no_points_inside(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        synth_polygons,
+        zonal_stats,
+    )
+
+    far = spark.createDataFrame(
+        [("A", "a", 1e6, 1e6)], "feature string, id string, x double, y double"
+    )
+    assert zonal_stats(far, synth_polygons(spark)).count() == 0

@@ -155,3 +155,22 @@ def test_hotspot_scores_match_bruteforce(spark):
             assert abs(got[(cx, cy)][3] - gi) < 1e-9, (cx, cy)
     # the planted hot cell must be the max z-score
     assert max(got, key=lambda c: (got[c][3] or -99)) == (4, 4)
+
+
+def test_hotspot_degenerate_grids(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        GridSpec,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        hotspot_scores,
+    )
+
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 10.0)  # one cell
+    df = spark.createDataFrame(
+        [("A", "a", 1.0, 1.0), ("A", "b", 2.0, 2.0)],
+        "feature string, id string, x double, y double",
+    )
+    out = hotspot_scores(df, grid).collect()
+    assert len(out) == 1 and out[0].gi is None and out[0].n == 2
+    empty = df.limit(0)
+    assert hotspot_scores(empty, grid).count() == 0
