@@ -676,6 +676,21 @@ def _q_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+PYRAMID_LEVELS = 4
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup: base cell counts + 3 coarser zooms
+    (2x2 aggregation per level, the cell_parent nesting)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        tile_pyramid,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    return tile_pyramid(inst, grid, levels=PYRAMID_LEVELS)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # money as integer cents: double summation order is engine-dependent
@@ -870,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan,
         "images_phash_dupes": _q_images_phash_dupes,
         "hotspot_cells": _q_hotspot_cells,
+        "tile_pyramid": _q_tile_pyramid,
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         "pairs_stream_backfill": _q_pairs_stream_backfill,
         "tile_vector": _q_tile_vector,
@@ -1240,6 +1256,19 @@ SELECT cell_x, cell_y, n, nbr_sum, nbr_cells,
        END AS gi
 FROM scored
 """,
+        "tile_pyramid": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE},
+c0 AS (SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY 1, 2)
+SELECT 0 AS level, cell_x, cell_y, n FROM c0
+"""
+        + "".join(
+            f"""UNION ALL
+SELECT {lv} AS level, cell_x >> {lv} AS cell_x, cell_y >> {lv} AS cell_y,
+       CAST(SUM(n) AS BIGINT) AS n
+FROM c0 GROUP BY 2, 3
+"""
+            for lv in range(1, PYRAMID_LEVELS)
+        ),
         "spatiotemporal_pairs": f"""
 WITH inst AS (
   SELECT event_type AS feature,

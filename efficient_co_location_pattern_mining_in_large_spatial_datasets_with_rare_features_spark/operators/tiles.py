@@ -182,3 +182,36 @@ def hotspot_scores(instances: DataFrame, grid: GridSpec) -> DataFrame:
         )
     )
     return out
+
+
+def tile_pyramid(
+    instances: DataFrame, grid: GridSpec, levels: int = 4
+) -> DataFrame:
+    """Multi-resolution heatmap pyramid: per-cell counts at the base grid
+    plus ``levels - 1`` coarser zoom levels, each cell aggregating its 2x2
+    children (exactly the ``cell_parent`` nesting in cells.py — level L
+    cell coords are the base coords >> L).
+
+    One base aggregation reads the instances; every coarser level
+    re-aggregates the (tiny) next-finer counts table, never the raw data —
+    the rollup cost is O(base cells), independent of instance count.
+
+    Output: (level, cell_x, cell_y, n); level 0 = base resolution.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    out = tile_counts(instances, grid).select(
+        F.lit(0).alias("level"), "cell_x", "cell_y", "n"
+    )
+    prev = out
+    for lv in range(1, levels):
+        prev = (
+            prev.groupBy(
+                F.shiftright("cell_x", 1).alias("cell_x"),
+                F.shiftright("cell_y", 1).alias("cell_y"),
+            )
+            .agg(F.sum("n").alias("n"))
+            .select(F.lit(lv).alias("level"), "cell_x", "cell_y", "n")
+        )
+        out = out.unionByName(prev)
+    return out

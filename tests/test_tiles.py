@@ -174,3 +174,40 @@ def test_hotspot_degenerate_grids(spark):
     assert len(out) == 1 and out[0].gi is None and out[0].n == 2
     empty = df.limit(0)
     assert hotspot_scores(empty, grid).count() == 0
+
+
+def test_tile_pyramid_rollup(spark):
+    import pytest
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        GridSpec,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        tile_pyramid,
+    )
+
+    rows = [
+        ("A", f"p{i}", float((i * 13) % 16), float((i * 7) % 16)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    grid = GridSpec(0.0, 0.0, 16.0, 16.0, 1.0)
+    out = tile_pyramid(df, grid, levels=5)
+    by_level = {}
+    for r in out.collect():
+        by_level.setdefault(r.level, {})[(r.cell_x, r.cell_y)] = r.n
+    assert set(by_level) == {0, 1, 2, 3, 4}
+    # every level preserves total mass
+    for lv, cells in by_level.items():
+        assert sum(cells.values()) == 300, lv
+    # level-4 of a 16x16 base grid is the single root cell
+    assert by_level[4] == {(0, 0): 300}
+    # each parent equals the sum of its <=4 children
+    for (cx, cy), n in by_level[1].items():
+        kids = sum(
+            by_level[0].get((cx * 2 + dx, cy * 2 + dy), 0)
+            for dx in (0, 1)
+            for dy in (0, 1)
+        )
+        assert kids == n
+    with pytest.raises(ValueError):
+        tile_pyramid(df, grid, levels=0)
