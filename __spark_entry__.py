@@ -203,16 +203,25 @@ qemb AS (
 """
 
 
+def _jaccard_pairs_cte(threshold: float) -> str:
+    """``dup`` CTE: all doc pairs with word-bigram Jaccard >= threshold."""
+    return f"""
+dup AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold!r}
+)
+"""
+
+
 def _exact_jaccard_sql(threshold: float) -> str:
     return f"""
-WITH {_DOCTOK_CTE}, {_SHINGLES_CTE}
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
-WHERE len(a.sh) > 0 AND len(b.sh) > 0
-  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold!r}
+WITH {_DOCTOK_CTE}, {_SHINGLES_CTE}, {_jaccard_pairs_cte(threshold)}
+SELECT a_id, b_id, jaccard FROM dup
 """
 
 
@@ -609,6 +618,15 @@ def _q_images_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_duplicates(synthesize_image_table(inst), hamming_max=4)
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair canonicalization: connected components over the
+    Jaccard duplicate graph, labeled by min doc id (transitive dups A~B~C
+    collapse into one group even when J(A,C) < t)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_duplicates(docs, threshold=JACCARD_T)
+    return dedup.duplicate_groups(pairs)
+
+
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi*-style per-cell hotspot z-scores over the tile grid."""
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
@@ -886,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_phash_dupes": _q_images_phash_dupes,
         "hotspot_cells": _q_hotspot_cells,
         "tile_pyramid": _q_tile_pyramid,
+        "dedup_groups": _q_dedup_groups,
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         "pairs_stream_backfill": _q_pairs_stream_backfill,
         "tile_vector": _q_tile_vector,
@@ -1096,6 +1115,21 @@ WITH h AS (
 SELECT doc_id, canonical_id, group_size FROM g WHERE group_size > 1
 """,
         "dedup_ngram_jaccard": _exact_jaccard_sql(JACCARD_T),
+        "dedup_groups": f"""
+WITH RECURSIVE {_DOCTOK_CTE}, {_SHINGLES_CTE}, {_jaccard_pairs_cte(JACCARD_T)},
+adjg AS (
+  SELECT a_id AS s, b_id AS t FROM dup
+  UNION ALL
+  SELECT b_id AS s, a_id AS t FROM dup
+),
+nodes AS (SELECT DISTINCT s AS id FROM adjg),
+comp(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.t, c.lab FROM comp c JOIN adjg e ON e.s = c.id
+)
+SELECT id AS doc_id, MIN(lab) AS group_id FROM comp GROUP BY id
+""",
         "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
         "dedup_simhash": _simhash_oracle_sql(),
         "text_stats": r"""

@@ -77,10 +77,13 @@ def _cut(df: DataFrame) -> DataFrame:
 def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
     """Union-find the contracted remainder on the driver (min id becomes
     the root), then fold the roots back into ``mapping`` with one broadcast
-    join."""
-    parent: dict[str, str] = {}
+    join.  Works for any orderable id type (the fin frame inherits the
+    edge columns' datatype)."""
+    from pyspark.sql.types import StructField, StructType
 
-    def find(x: str) -> str:
+    parent: dict = {}
+
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -88,7 +91,7 @@ def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    seen: set[str] = set()
+    seen: set = set()
     for u, v in cur.select("u", "v").toLocalIterator():
         seen.add(u)
         seen.add(v)
@@ -96,8 +99,12 @@ def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
         if ru != rv:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
+    id_type = cur.schema["u"].dataType
     fin = cur.sparkSession.createDataFrame(
-        [(x, find(x)) for x in seen], "s string, lab string"
+        [(x, find(x)) for x in seen],
+        StructType(
+            [StructField("s", id_type, False), StructField("lab", id_type, False)]
+        ),
     )
     return (
         mapping.join(

@@ -371,3 +371,33 @@ def phash_duplicates(images: DataFrame, hamming_max: int = 8) -> DataFrame:
         id_col="image_id",
         sig_col="phash",
     )
+
+
+def duplicate_groups(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Canonicalize duplicate PAIRS into GROUPS: connected components over
+    the duplicate graph, labeled by the minimum doc id of each component.
+
+    Pairwise dedup output is not directly actionable — keeping "one of
+    each pair" can still keep two docs that are duplicates transitively
+    (A~B, B~C).  The group id picks one deterministic representative per
+    component; a pipeline keeps ``doc_id == group_id`` rows and drops the
+    rest.  Reuses the star-contraction + driver-finish component machinery
+    from cluster.py (O(log n) rounds at any scale).
+
+    Output: (doc_id, group_id) for every doc appearing in >= 1 pair.
+    """
+    from .cluster import _contract_components
+
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return _contract_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )

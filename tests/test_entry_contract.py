@@ -27,4 +27,4 @@ def test_all_queries_match_oracles(spark):
     mismatches = [r for r in reports if r["match"] is False]
     assert not mismatches, mismatches
     oracled = [r for r in reports if r["match"] is True]
-    assert len(oracled) >= 38  # keep the oracle coverage from regressing
+    assert len(oracled) >= 39  # keep the oracle coverage from regressing

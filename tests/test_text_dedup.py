@@ -149,3 +149,16 @@ def test_embedding_duplicates_banded_finds_planted_dupes(spark):
     # the blocked plan must not contain a cartesian/nested-loop join
     plan = similarity.embedding_duplicates(df, threshold=0.95)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_groups_transitive(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5), (3, 2)],  # chain, pair, self, dup edge
+        "a_id long, b_id long",
+    )
+    got = {(r.doc_id, r.group_id) for r in duplicate_groups(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
