@@ -231,6 +231,13 @@ def distance_join(
     needed.  The grid is computed over the union of both bounding boxes
     so the clamped cell encoding stays consistent across sides.
 
+    Skew: unlike the monochromatic self-join (quadratic in a hot cell —
+    hence neighbor_pairs' explicit salting), a hot cell here costs
+    |L_cell| x |R_cell| and lands in single sort-merge partitions that
+    AQE's skew-join splitting (enabled engine-wide, session.py) re-chunks
+    at runtime; add explicit salting only if one cell dominates BOTH
+    sides simultaneously.
+
     Output: ``(a_id, a_x, a_y, b_id, b_x, b_y, dist)`` with a = left,
     b = right (no canonical flip — the sides are semantically distinct).
     """
