@@ -145,6 +145,19 @@ def main() -> None:
             inst.filter(ordinal % 2 == 0), inst.filter(ordinal % 2 == 1), BENCH_D
         ).count(),
     )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        hotspot_scores,
+        tile_pyramid,
+    )
+
+    timed("hotspot_cells", lambda: hotspot_scores(inst, grid).count())
+    timed("tile_pyramid", lambda: tile_pyramid(inst, grid, levels=4).count())
+    timed(
+        "dedup_groups",
+        lambda: dedup.duplicate_groups(
+            dedup.ngram_jaccard_duplicates(docs, threshold=0.8)
+        ).count(),
+    )
 
     flagship = timings["colocation_mine_full"] + timings["tile_counts"]
     print(

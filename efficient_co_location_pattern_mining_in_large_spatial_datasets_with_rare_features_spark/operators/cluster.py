@@ -131,13 +131,16 @@ def _contract_components(
     round at least halves the contracted graph; with compression inside
     the round even an n-node path closes in O(log n) rounds (naive
     min-propagation needs n — test_dbscan_long_chain_converges)."""
+    # Cut the edges FIRST: nodes/mapping then derive from the materialized
+    # scan instead of re-running the (possibly expensive) upstream pipeline
+    # a second time.
+    cur = _cut(edges)
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
         .distinct()
     )
     mapping = _cut(nodes.select("node", F.col("node").alias("label")))
-    cur = _cut(edges)
     for _ in range(_MAX_ROUNDS):
         n_edges = cur.count()
         if n_edges == 0:
