@@ -152,6 +152,11 @@ def main() -> None:
         "pairs": results[hi]["pairs"],
     }
     print(json.dumps(summary))
+    # persist for bench.py to surface the latest real measurement in its
+    # JSON line (never a hardcoded constant)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_last.json")
+    with open(art, "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,23 @@ BENCH_D = 6.0
 BENCH_MIN_PREV = 0.1
 
 
+def _scaling_artifact() -> dict:
+    """Latest BENCH/scaling.py summary (empty if it never ran here)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_last.json"
+    )
+    try:
+        with open(path) as f:
+            s = json.load(f)
+        return {
+            "scaling_efficiency_last_measured": s.get("scaling_efficiency"),
+            "scaling_passes_north_rule": s.get("passes_north_rule"),
+            "scaling_metric": s.get("metric"),
+        }
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -180,9 +197,10 @@ def main() -> None:
                 "min_prev": BENCH_MIN_PREV,
                 # north-rule evidence: measured separately by BENCH/scaling.py
                 # (2M instances, separate pinned JVMs per leg — too slow to
-                # re-run inside every bench invocation); see BENCH/BASELINE.md
-                "scaling_efficiency_2to8_last_measured": 0.835,
+                # re-run inside every bench invocation); the artifact below
+                # carries the LAST REAL measurement, written by scaling.py
                 "scaling_evidence": "BENCH/BASELINE.md + BENCH/scaling.py",
+                **_scaling_artifact(),
             }
         )
     )

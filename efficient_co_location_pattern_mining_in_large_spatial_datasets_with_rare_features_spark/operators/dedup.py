@@ -386,7 +386,10 @@ def duplicate_groups(
     rest.  Reuses the star-contraction + driver-finish component machinery
     from cluster.py (O(log n) rounds at any scale).
 
-    Output: (doc_id, group_id) for every doc appearing in >= 1 pair.
+    Output: (doc_id, group_id) for every doc appearing in >= 1 pair with a
+    DIFFERENT doc.  Degenerate self-pairs (a == b) carry no duplication
+    information and are dropped; a doc absent from the output has no
+    duplicates.
     """
     from .cluster import _contract_components
 

@@ -219,6 +219,7 @@ class ColocationMiner:
                 "config": {
                     "neighbor_distance": self.config.neighbor_distance,
                     "min_prevalence": self.config.min_prevalence,
+                    "approx_rsd": self.config.approx_rsd,
                 },
                 "encode_ids": encode_ids,
                 "written_at": time.time(),
@@ -483,18 +484,24 @@ class ColocationMiner:
                 last = manifests[-1]
                 # Checkpointed levels were mined under a specific semantic
                 # config; silently mixing levels from different (d, min_prev)
-                # would corrupt the result set. Refuse to resume on mismatch.
+                # — or exact vs HLL-approximate participation — would corrupt
+                # the result set. Refuse to resume on mismatch. (Manifests
+                # written before approx_rsd existed carry no key: treat as
+                # exact, i.e. None.)
                 ck = last["lineage"]["config"]
                 if (
                     ck["neighbor_distance"] != cfg.neighbor_distance
                     or ck["min_prevalence"] != cfg.min_prevalence
+                    or ck.get("approx_rsd") != cfg.approx_rsd
                 ):
                     raise ValueError(
                         "checkpoint was mined under config "
                         f"(d={ck['neighbor_distance']}, "
-                        f"min_prev={ck['min_prevalence']}) but the active "
+                        f"min_prev={ck['min_prevalence']}, "
+                        f"approx_rsd={ck.get('approx_rsd')}) but the active "
                         f"config is (d={cfg.neighbor_distance}, "
-                        f"min_prev={cfg.min_prevalence}); clear "
+                        f"min_prev={cfg.min_prevalence}, "
+                        f"approx_rsd={cfg.approx_rsd}); clear "
                         f"{cfg.checkpoint_dir} or match the config to resume"
                     )
                 for m in manifests:

@@ -172,7 +172,11 @@ def test_approx_participation_matches_exact_on_sample(spark, sample_instances):
     approx = eng.ColocationMiner(
         spark, eng.ColocationConfig(5.0, 0.6, approx_rsd=0.01)
     ).mine(sample_instances)
-    # HLL++ is exact at these cardinalities (sparse mode); the opt-in knob
-    # must not change semantics anywhere else in the plan
+    # Spark's HLL++ has no sparse mode, so tiny cardinalities are not
+    # guaranteed exact in general — but the estimate is DETERMINISTIC for
+    # identical inputs, and on this frozen fixture it reproduces the exact
+    # pattern set; the assertion therefore verifies the knob wires through
+    # every participation site without disturbing the rest of the plan,
+    # and is stable run-to-run.
     assert set(approx.patterns) == set(exact.patterns)
     assert approx.pair_count == exact.pair_count

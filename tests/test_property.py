@@ -21,19 +21,18 @@ from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_fe
     neighbor_pairs,
 )
 
-_SPARK = None
+def _get_spark():
+    """hypothesis-decorated tests cannot take pytest fixtures directly:
+    reuse the active session when the conftest fixture already built one,
+    else build it with the same factory — no ordering dependency."""
+    from pyspark.sql import SparkSession
 
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
 
-def _spark_for(request_spark):
-    global _SPARK
-    _SPARK = request_spark
-    return request_spark
-
-
-def test_capture_spark(spark):
-    # hypothesis-decorated tests cannot take pytest fixtures directly;
-    # capture the session once (pytest runs files top to bottom).
-    assert _spark_for(spark) is not None
+    return eng.get_spark("local[8]", shuffle_partitions=8)
 
 
 @settings(max_examples=12, deadline=None)
@@ -49,7 +48,7 @@ def test_hamming_blocking_is_lossless(sigs, t):
     """Pigeonhole chunk blocking must find EXACTLY the pairs within the
     Hamming bound — for any signature set and any threshold, including the
     remainder-chunk layouts (64 % (t+1) != 0)."""
-    spark = _SPARK
+    spark = _get_spark()
     rows = [(f"s{i}", v) for i, v in enumerate(sigs)]
     df = spark.createDataFrame(rows, "doc_id string, sig long")
     got = {
@@ -82,7 +81,7 @@ def test_hamming_blocking_is_lossless(sigs, t):
 def test_neighbor_pairs_exact_under_random_inputs(pts, d, cell_frac):
     """Grid stencil join == brute force for arbitrary point sets (duplicate
     coordinates included) at both 1-cell and 2-reach stencils."""
-    spark = _SPARK
+    spark = _get_spark()
     rows = [
         (f"F{f}", f"p{i:03d}", float(x), float(y))
         for i, (f, x, y) in enumerate(pts)
