@@ -503,9 +503,32 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_dupes_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings plus near-duplicate probes: every 50th vector gets a
+    shifted copy (id + 1e6) at ``v + b`` with ``b`` stepping 0.03..0.075 —
+    the unit-norm corpus then contains true pairs with cosine spanning
+    ~0.86..0.98, straddling EMB_DUP_T, so the dupe check is non-vacuous
+    (the raw synthetic corpus has no pair above cosine 0.52).  The shift
+    is the same float64->float32 expression in the SQL oracle.
+    """
+    b = F.lit(0.03) + F.lit(0.005) * (
+        (F.col("vec_id") / 50).cast("long") % 10
+    ).cast("double")
+    emb = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: (v.cast("double") + b).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(probes)
+
+
 def _q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_duplicates(emb, threshold=EMB_DUP_T)
+    return similarity.embedding_duplicates(
+        _emb_dupes_corpus(emb), threshold=EMB_DUP_T
+    )
 
 
 CELL_RES = 9
@@ -743,7 +766,16 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inst = instances_from_events(spark, sf_dir)
     grid = compute_bounds(inst, D)
-    return raster_tiles(tile_counts(inst, grid), grid)
+    raster = raster_tiles(tile_counts(inst, grid), grid)
+    # serialize the scanline for the oracle compare: the driver harness
+    # canonicalizes by sorting every column and array<bigint> cells are
+    # unhashable there; library users get the array from raster_tiles
+    return raster.select(
+        "cell_y",
+        F.array_join(F.col("counts").cast("array<string>"), ",").alias(
+            "counts_csv"
+        ),
+    )
 
 
 def _q_tile_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,8 +1196,28 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
 """,
+        # corpus = embeddings + shifted probe copies (_emb_dupes_corpus):
+        # v + (0.03 + 0.005 * ((vec_id/50) % 10)) cast back to float32 —
+        # identical float64->float32 ops on both engines, creating true
+        # pairs straddling the threshold (non-vacuous dupe check)
         "embedding_dupes": f"""
-WITH {_QEMB_CTE}
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(v AS DOUBLE)
+                     + (CAST(0.03 AS DOUBLE) + CAST(0.005 AS DOUBLE)
+                        * CAST(CAST(vec_id / 50 AS BIGINT) % 10 AS DOUBLE))
+                     AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+qemb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS DOUBLE)) AS q
+  FROM corpus
+)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        list_dot_product(a.q, b.q)
        / (SQRT(list_dot_product(a.q, a.q)) * SQRT(list_dot_product(b.q, b.q))) AS cosine
@@ -1284,9 +1336,12 @@ scored AS (
   CROSS JOIN g
 )
 SELECT cell_x, cell_y, n, nbr_sum, nbr_cells,
+       -- floor(x*1e9 + 0.5)/1e9: the same three IEEE ops as the engine
+       -- (ROUND(double, 9) is not bitwise-portable across engines)
        CASE WHEN s * SQRT((nnd * k - k * k) / (nnd - CAST(1 AS DOUBLE))) > 0
-            THEN ROUND((CAST(nbr_sum AS DOUBLE) - k * mean)
-                       / (s * SQRT((nnd * k - k * k) / (nnd - CAST(1 AS DOUBLE)))), 9)
+            THEN FLOOR((CAST(nbr_sum AS DOUBLE) - k * mean)
+                       / (s * SQRT((nnd * k - k * k) / (nnd - CAST(1 AS DOUBLE))))
+                       * 1e9 + 0.5) / 1e9
        END AS gi
 FROM scored
 """,
@@ -1434,7 +1489,9 @@ dense AS (
   CROSS JOIN (SELECT UNNEST(range(0, (SELECT ncx FROM bounds))) AS i) r
   LEFT JOIN cnt c ON c.cell_y = y.cell_y AND c.cell_x = r.i
 )
-SELECT cell_y, list(n ORDER BY cell_x) AS counts FROM dense GROUP BY cell_y
+SELECT cell_y,
+       array_to_string(list(n ORDER BY cell_x), ',') AS counts_csv
+FROM dense GROUP BY cell_y
 """,
         # availableNow streaming backfill == the batch windowed aggregation
         # (same instances -> same grid cells; 1-hour tumbling windows)

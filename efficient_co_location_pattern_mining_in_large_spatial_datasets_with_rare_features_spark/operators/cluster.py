@@ -38,8 +38,11 @@ exactly why the engine side uses contraction instead.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from .pairs import neighbor_pairs
 
@@ -70,7 +73,15 @@ def _cut(df: DataFrame) -> DataFrame:
             ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
         )
         return DataFrame(jdf, df.sparkSession)
-    except Exception:  # private API moved: degrade to the plain checkpoint
+    except Exception as e:  # private API moved: degrade to the plain checkpoint
+        # visible degradation: plain localCheckpoint reinstates the
+        # compounding sizeInBytes estimate this function exists to avoid
+        # (100s-per-round planning stalls on deep iteration)
+        warnings.warn(
+            f"_cut fell back to plain localCheckpoint ({type(e).__name__}: {e}); "
+            "iterative planning may slow down on deep contractions",
+            stacklevel=2,
+        )
         return ck
 
 
@@ -120,9 +131,57 @@ def _contract_components(
     edges: DataFrame, driver_finish_edges: int = _DRIVER_FINISH_EDGES
 ) -> DataFrame:
     """Connected components of an undirected graph given as canonical
-    (u, v) string-id edges (u < v).  Returns (node, label) for every node
-    that appears in at least one edge; label = min node id in the
-    component.
+    (u, v) edges (u < v).  Returns (node, label) for every node that
+    appears in at least one edge; label = min node id in the component.
+
+    Non-numeric node ids are xxhash64-int-encoded before contraction (the
+    same discipline as the miner's edge table, plans/miner.py): every
+    round's shuffle and the driver-finish union-find then move 8-byte
+    longs instead of arbitrary-width strings (~4x less driver memory on
+    doc-id graphs).  The encoding is checked injective first (one
+    aggregate over the node set) with a transparent fallback to raw ids;
+    the final label is re-derived as min ORIGINAL id per component, so
+    the output contract is identical either way."""
+    # Cut the edges FIRST: nodes/mapping then derive from the materialized
+    # scan instead of re-running the (possibly expensive) upstream pipeline
+    # a second time.
+    cur = _cut(edges)
+    if not isinstance(cur.schema["u"].dataType, NumericType):
+        nodes = _cut(
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.xxhash64("node").alias("h"))
+        )
+        stats = nodes.agg(
+            F.count("*").alias("n"), F.countDistinct("h").alias("nh")
+        ).collect()[0]
+        if stats["n"] == stats["nh"]:
+            int_edges = (
+                cur.join(nodes.select(F.col("node").alias("u"), F.col("h").alias("hu")), "u")
+                .join(nodes.select(F.col("node").alias("v"), F.col("h").alias("hv")), "v")
+                .select(
+                    F.least("hu", "hv").alias("u"),
+                    F.greatest("hu", "hv").alias("v"),
+                )
+            )
+            comp = _contract_raw(_cut(int_edges), driver_finish_edges)
+            m = comp.select(F.col("node").alias("h"), F.col("label").alias("comp")).join(
+                nodes, "h"
+            ).select("node", "comp")
+            rep = m.groupBy("comp").agg(F.min("node").alias("label"))
+            return m.join(rep, "comp").select("node", "label")
+        warnings.warn(
+            "xxhash64 node encoding collided; contracting on raw ids",
+            stacklevel=2,
+        )
+    return _contract_raw(cur, driver_finish_edges)
+
+
+def _contract_raw(
+    cur: DataFrame, driver_finish_edges: int = _DRIVER_FINISH_EDGES
+) -> DataFrame:
+    """Contraction core over already-materialized canonical (u, v) edges.
 
     Shiloach-Vishkin-style rounds: hook every node to min(self, min
     ε-neighbor) — a pointer forest rooted at local minima — then
@@ -131,10 +190,6 @@ def _contract_components(
     round at least halves the contracted graph; with compression inside
     the round even an n-node path closes in O(log n) rounds (naive
     min-propagation needs n — test_dbscan_long_chain_converges)."""
-    # Cut the edges FIRST: nodes/mapping then derive from the materialized
-    # scan instead of re-running the (possibly expensive) upstream pipeline
-    # a second time.
-    cur = _cut(edges)
     nodes = (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))

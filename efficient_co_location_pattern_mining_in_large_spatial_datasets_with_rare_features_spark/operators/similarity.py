@@ -88,10 +88,27 @@ def cosine_topk(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
+def _mix(h: int) -> int:
+    """splitmix64 finalizer: full-avalanche 64-bit integer mix."""
+    h &= _M64
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    return h
+
+
 #: deterministic integer hyperplanes: component d of plane p is
-#: ((p*67 + d*31) % 19) - 9  (zero-mean pseudo-random in [-9, 9]).
+#: splitmix64(p * 2^32 + d) % 19 - 9 (zero-mean pseudo-random in [-9, 9]).
+#: The full-avalanche mix makes every plane distinct (a linear-congruential
+#: family used here previously collapsed to p mod 19 — only 19 distinct
+#: planes — silently voiding the banded-miss-probability math).
 def _plane(p: int, dim: int) -> list[int]:
-    return [((p * 67 + d * 31) % 19) - 9 for d in range(dim)]
+    return [_mix((p << 32) | d) % 19 - 9 for d in range(dim)]
 
 
 def lsh_topk(

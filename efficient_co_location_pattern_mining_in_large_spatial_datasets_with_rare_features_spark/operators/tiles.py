@@ -169,7 +169,12 @@ def hotspot_scores(instances: DataFrame, grid: GridSpec) -> DataFrame:
     denom = s * F.sqrt(
         (F.lit(float(n_cells)) * k - k * k) / F.lit(float(n_cells - 1))
     )
-    gi = F.round((F.col("nbr_sum").cast("double") - k * mean) / denom, 9)
+    # 9-dp round as floor(x*1e9 + 0.5)/1e9 — three explicit IEEE ops that
+    # any engine reproduces bitwise.  Spark round() (BigDecimal HALF_UP on
+    # the decimal expansion) and DuckDB ROUND (binary multiply/round) can
+    # disagree in the last digit near a 9th-dp boundary; this form cannot.
+    gi_raw = (F.col("nbr_sum").cast("double") - k * mean) / denom
+    gi = F.floor(gi_raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     out = (
         counts.join(
             nbr,

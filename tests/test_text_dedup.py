@@ -151,6 +151,56 @@ def test_embedding_duplicates_banded_finds_planted_dupes(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_plane_family_full_rank():
+    # regression: the old linear family ((p*67 + d*31) % 19 - 9) depended
+    # on p only mod 19, collapsing all r*b planes to 19 distinct ones and
+    # silently voiding the banded miss-probability math
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
+        _plane,
+    )
+
+    planes = [tuple(_plane(p, 64)) for p in range(12 * 64)]
+    assert len(set(planes)) == len(planes)
+    flat = [c for pl in planes for c in pl]
+    assert min(flat) == -9 and max(flat) == 9
+    assert abs(sum(flat) / len(flat)) < 0.1  # zero-mean family
+
+
+def test_embedding_duplicates_recall_near_threshold(spark):
+    # non-vacuous recall at the interesting regime: true pairs with cosine
+    # straddling the 0.9 threshold (not ~0.999 like the planted-dupe test).
+    # With full-rank planes the per-pair miss prob at s>=0.90 is ~2e-5;
+    # the fixture is deterministic, so blocked == exact must hold exactly.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(40)]
+    for j in range(20):
+        b = 0.030 + 0.0025 * j  # cosine sweeps ~0.98 down through ~0.86
+        v = (base[j] + b).astype(np.float32)
+        rows.append((100 + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_duplicates(
+            df, threshold=0.9, blocked=False
+        ).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_duplicates(
+            df, threshold=0.9, blocked=True
+        ).collect()
+    }
+    planted = {(j, 100 + j) for j in range(20)}
+    kept = exact & planted
+    # the sweep must actually straddle the threshold on both sides
+    assert 5 <= len(kept) <= 18
+    assert blocked == exact
+
+
 def test_duplicate_groups_transitive(spark):
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
         duplicate_groups,
