@@ -1446,19 +1446,40 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
 FROM events
 GROUP BY 1, 2
 """,
+        # mirrors knn_join's straggler fallback: points with < 3 in-radius
+        # neighbors get exact global top-3 (the engine's widen/broadcast
+        # paths both produce exactly this set)
         "spatial_knn_join": f"""
 WITH {_INSTANCES_CTE},
+qs AS (
+  SELECT id FROM instances
+  WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 17 = 0
+),
 nb AS (
   SELECT a.id AS qid, b.id AS id, b.feature AS feature,
          SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
   FROM instances a JOIN instances b
     ON a.id <> b.id
-   AND CAST(string_split(a.id, '#')[2] AS BIGINT) % 17 = 0
+   AND a.id IN (SELECT id FROM qs)
    AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {D!r}
+),
+strag AS (
+  SELECT q.id AS qid FROM qs q
+  LEFT JOIN (SELECT qid, COUNT(*) AS c FROM nb GROUP BY qid) cnt
+    ON cnt.qid = q.id
+  WHERE COALESCE(cnt.c, 0) < 3
+),
+cand AS (
+  SELECT * FROM nb WHERE qid NOT IN (SELECT qid FROM strag)
+  UNION ALL
+  SELECT a.id AS qid, b.id AS id, b.feature AS feature,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM instances a JOIN instances b ON a.id <> b.id
+  WHERE a.id IN (SELECT qid FROM strag)
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank
-  FROM nb
+  FROM cand
 )
 SELECT qid, id, feature, dist, rank FROM ranked WHERE rank <= 3
 """,

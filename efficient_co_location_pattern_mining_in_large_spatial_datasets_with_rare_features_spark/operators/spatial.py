@@ -170,17 +170,30 @@ def knn_join(
     k: int = 5,
     radius: float = 10.0,
     cell_size: float | None = None,
+    fallback: bool = True,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """All-points kNN join: for EVERY instance, its k nearest other
-    instances within ``radius`` (any feature; ties broken by neighbor id).
+    instances (any feature; ties broken by neighbor id).
 
     This is the scale path the broadcast-query ``knn`` cannot take — the
     query set IS the corpus.  Built on the grid stencil equi-join
     (neighbor_pairs with ``cross_feature_only=False``), so the candidate
-    set per point is radius-local, never the full corpus.  The radius is
-    part of the contract: points with fewer than k neighbors inside it
-    return fewer rows (rank <= actual neighbors) — the caller widens the
-    radius or falls back to ``knn`` for stragglers.
+    set per point is radius-local, never the full corpus.  ``radius`` is
+    the locality hint: points with >= k neighbors inside it resolve in
+    the single stencil pass.
+
+    *Stragglers* (points with fewer than k in-radius neighbors, including
+    isolated points with none) are finished automatically when
+    ``fallback=True`` (default): few stragglers (< ``broadcast_threshold``)
+    get one broadcast scan of the corpus (exact global top-k); many get a
+    geometric radius-widening loop of bichromatic ``distance_join`` passes
+    (x4 per round, capped at the bbox diagonal).  Both paths yield the
+    same rows — the in-radius top-k IS the global top-k once >= k
+    candidates fall inside the radius — so the output is invariant to
+    which path runs.  A straggler still returns < k rows only when the
+    corpus itself has fewer than k other points.  ``fallback=False``
+    restores the radius-bounded contract (short lists for stragglers).
 
     Output: (qid, id, feature, dist, rank) — one row per (point, neighbor)
     kept, same shape as ``knn``.
@@ -206,10 +219,108 @@ def knn_join(
         "dist",
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
+    ranked = (
         fwd.unionByName(rev)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+    if not fallback:
+        return ranked
+    ranked = ranked.localCheckpoint()  # counted AND unioned below: one pass
+    counts = ranked.groupBy("qid").agg(F.count("*").alias("_c"))
+    strag = (
+        instances.select(F.col("id").alias("qid"))
+        .join(counts, "qid", "left")
+        .filter(F.coalesce(F.col("_c"), F.lit(0)) < k)
+        .select("qid")
+        .localCheckpoint()
+    )
+    n_strag = strag.count()
+    if n_strag == 0:
+        return ranked
+    keep = ranked.join(strag, "qid", "left_anti")
+    spts = strag.join(
+        instances.select(F.col("id").alias("qid"), "x", "y"), "qid"
+    )
+    if n_strag <= broadcast_threshold:
+        q = spts.select(
+            "qid", F.col("x").alias("qx"), F.col("y").alias("qy")
+        )
+        dx, dy = F.col("x") - F.col("qx"), F.col("y") - F.col("qy")
+        cand = (
+            F.broadcast(q)
+            .crossJoin(instances)
+            .filter(F.col("qid") != F.col("id"))
+            .select(
+                "qid", "id", "feature", F.sqrt(dx * dx + dy * dy).alias("dist")
+            )
+        )
+    else:
+        cand = _widen_candidates(spts, instances, float(radius), k)
+    fb = (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return keep.unionByName(fb)
+
+
+def _widen_candidates(
+    spts: DataFrame, instances: DataFrame, radius: float, k: int
+) -> DataFrame:
+    """Shuffle-based straggler finisher for ``knn_join``: bichromatic
+    ``distance_join`` of the straggler points against the corpus at a
+    geometrically widening radius (x4 per round).  A straggler is
+    *finished* the first round it has >= k candidates — its in-radius
+    top-k is then provably its global top-k (anything outside the radius
+    is farther than all k) — and only unfinished points re-join at the
+    next, wider radius.  The final round runs at the bbox diagonal, where
+    the candidate set is complete, so every straggler resolves exactly
+    without broadcasting anything.  Each straggler's rows come from
+    exactly one round (the one that finished it): no cross-round dedup."""
+    b = instances.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()[0]
+    diag = math.hypot(
+        float(b["x1"]) - float(b["x0"]), float(b["y1"]) - float(b["y0"])
+    )
+    corpus = instances.select("id", "x", "y")
+    left = spts.select(F.col("qid").alias("id"), "x", "y")
+    remaining = spts.select("qid")
+    parts: list[DataFrame] = []
+    r = radius
+    while True:
+        r = max(min(r * 4, diag), radius)
+        cand = (
+            distance_join(
+                left.join(
+                    remaining.withColumnRenamed("qid", "id"), "id", "left_semi"
+                ),
+                corpus,
+                r,
+            )
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(F.col("a_id").alias("qid"), F.col("b_id").alias("id"), "dist")
+            .localCheckpoint()
+        )
+        if r >= diag:
+            parts.append(cand)
+            break
+        done = (
+            cand.groupBy("qid")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= k)
+            .select("qid")
+        )
+        parts.append(cand.join(done, "qid", "left_semi"))
+        remaining = remaining.join(done, "qid", "left_anti").localCheckpoint()
+        if remaining.isEmpty():
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(instances.select("id", "feature"), "id").select(
+        "qid", "id", "feature", "dist"
     )
 
 
@@ -218,6 +329,8 @@ def distance_join(
     right: DataFrame,
     d: float,
     cell_size: float | None = None,
+    salt_threshold: int | None = 50_000,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Bichromatic ε-join: every (left, right) pair within Euclidean
     distance ``d`` (inclusive).
@@ -231,12 +344,16 @@ def distance_join(
     needed.  The grid is computed over the union of both bounding boxes
     so the clamped cell encoding stays consistent across sides.
 
-    Skew: unlike the monochromatic self-join (quadratic in a hot cell —
-    hence neighbor_pairs' explicit salting), a hot cell here costs
-    |L_cell| x |R_cell| and lands in single sort-merge partitions that
+    Skew: a one-side-hot cell lands in single sort-merge partitions that
     AQE's skew-join splitting (enabled engine-wide, session.py) re-chunks
-    at runtime; add explicit salting only if one cell dominates BOTH
-    sides simultaneously.
+    at runtime.  A *dual-hot* cell — more than ``salt_threshold`` points
+    on BOTH sides — is salted explicitly (same output-invariant scheme as
+    neighbor_pairs): right-side rows in such a cell get a hash bucket
+    ``xxhash64(id) % salt_buckets`` appended to the join key, left-side
+    probes targeting it replicate over all buckets, splitting the
+    |L_cell| x |R_cell| candidate work across ``salt_buckets`` tasks.
+    Cells hot on at most one side pay nothing (bucket = -1 both sides).
+    ``salt_threshold=None`` disables salting.
 
     Output: ``(a_id, a_x, a_y, b_id, b_x, b_y, dist)`` with a = left,
     b = right (no canonical flip — the sides are semantically distinct).
@@ -254,6 +371,25 @@ def distance_join(
         lpts = lpts.repartition(parallelism)
     if rpts.rdd.getNumPartitions() < parallelism:
         rpts = rpts.repartition(parallelism)
+
+    hot_cells: DataFrame | None = None
+    if salt_threshold is not None:
+        locc = (
+            with_cell(lpts, grid)
+            .groupBy("cell_x", "cell_y")
+            .count()
+            .filter(F.col("count") > salt_threshold)
+            .select("cell_x", "cell_y")
+        )
+        rocc = (
+            with_cell(rpts, grid)
+            .groupBy("cell_x", "cell_y")
+            .count()
+            .filter(F.col("count") > salt_threshold)
+            .select("cell_x", "cell_y")
+        )
+        hot = locc.join(rocc, ["cell_x", "cell_y"]).persist()
+        hot_cells = hot if hot.count() > 0 else None
 
     reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
     offsets = [
@@ -278,11 +414,46 @@ def distance_join(
         F.col("cell_x").alias("t_cx"),
         F.col("cell_y").alias("t_cy"),
     )
+    if hot_cells is not None:
+        hot_t = F.broadcast(
+            hot_cells.select(
+                F.col("cell_x").alias("t_cx"),
+                F.col("cell_y").alias("t_cy"),
+                F.lit(True).alias("_hot"),
+            )
+        )
+        build = (
+            build.join(hot_t, ["t_cx", "t_cy"], "left")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.pmod(F.xxhash64("b_id"), F.lit(salt_buckets)).cast("int"),
+                ).otherwise(F.lit(-1)),
+            )
+            .drop("_hot")
+        )
+        buckets_all = F.array(*[F.lit(i) for i in range(salt_buckets)])
+        probe = (
+            probe.join(hot_t, ["t_cx", "t_cy"], "left")
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.when(F.col("_hot").isNotNull(), buckets_all).otherwise(
+                        F.array(F.lit(-1))
+                    )
+                ),
+            )
+            .drop("_hot")
+        )
+        join_keys = ["t_cx", "t_cy", "bucket"]
+    else:
+        join_keys = ["t_cx", "t_cy"]
     dist = F.sqrt(
         (F.col("a_x") - F.col("b_x")) ** 2 + (F.col("a_y") - F.col("b_y")) ** 2
     )
     return (
-        probe.join(build, ["t_cx", "t_cy"])
+        probe.join(build, join_keys)
         .filter(dist <= F.lit(float(d)))
         .select("a_id", "a_x", "a_y", "b_id", "b_x", "b_y", dist.alias("dist"))
     )

@@ -185,6 +185,52 @@ def test_knn_join_matches_bruteforce(spark):
     assert out == expect
 
 
+def test_knn_join_straggler_fallback(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        knn_join,
+    )
+
+    # dense blob + one outlier with ZERO in-radius neighbors + one corner
+    # point with exactly one (fewer than k) in-radius neighbor
+    rows = [("F0", f"p{i:02d}", float(i % 7), float(i // 7)) for i in range(20)]
+    rows.append(("F1", "far", 500.0, 500.0))
+    rows.append(("F0", "edge1", 40.0, 0.0))
+    rows.append(("F0", "edge2", 43.0, 0.0))
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+
+    def brute_global(k):
+        expect = set()
+        for _, i, x, y in rows:
+            cand = sorted(
+                (math.sqrt((x - x2) ** 2 + (y - y2) ** 2), j)
+                for (_, j, x2, y2) in rows
+                if j != i
+            )
+            for rank, (_, j) in enumerate(cand[:k], 1):
+                expect.add((i, j, rank))
+        return expect
+
+    out = {(r.qid, r.id, r.rank) for r in knn_join(df, k=3, radius=5.0).collect()}
+    # every straggler (far: 0 in-radius; edge1/edge2: 1) got its exact
+    # global top-3; non-stragglers keep the single-pass result — and the
+    # in-radius top-k IS the global top-k, so the whole output is global
+    assert out == brute_global(3)
+    # widen path (forced by broadcast_threshold=0) is output-invariant
+    widen = {
+        (r.qid, r.id, r.rank)
+        for r in knn_join(df, k=3, radius=5.0, broadcast_threshold=0).collect()
+    }
+    assert widen == out
+    # fallback=False restores the radius-bounded short-list contract
+    short = knn_join(df, k=3, radius=5.0, fallback=False)
+    assert short.filter(F.col("qid") == "far").count() == 0
+    assert short.filter(F.col("qid") == "edge1").count() == 1
+
+
 def test_distance_join_matches_bruteforce(spark):
     import math
 
@@ -208,6 +254,42 @@ def test_distance_join_matches_bruteforce(spark):
     # asymmetric: left/right are NOT interchangeable in the output shape
     one = distance_join(left, right, 9.0).collect()[0]
     assert one.a_id.startswith("l") and one.b_id.startswith("r")
+
+
+def test_distance_join_dual_hot_salting_invariant(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        distance_join,
+    )
+
+    # one cell dominates BOTH sides (30 left + 25 right points in [0,1)^2)
+    # plus scattered cold-cell points
+    lrows = [(f"l{i}", 0.1 + (i % 6) * 0.15, 0.1 + (i // 6) * 0.15) for i in range(30)]
+    lrows += [(f"lc{i}", 20.0 + i * 3.0, 25.0) for i in range(5)]
+    rrows = [(f"r{i}", 0.05 + (i % 5) * 0.18, 0.05 + (i // 5) * 0.18) for i in range(25)]
+    rrows += [(f"rc{i}", 21.0 + i * 3.0, 25.5) for i in range(5)]
+    left = _pts(spark, lrows)
+    right = _pts(spark, rrows)
+    base = {
+        (r.a_id, r.b_id)
+        for r in distance_join(left, right, 2.0, salt_threshold=None).collect()
+    }
+    # force salting on (threshold 2 makes the dense cell dual-hot)
+    salted = {
+        (r.a_id, r.b_id)
+        for r in distance_join(
+            left, right, 2.0, salt_threshold=2, salt_buckets=4
+        ).collect()
+    }
+    assert salted == base
+    assert len(base) > 0
+    # one-side-hot only (right side below threshold): still invariant
+    one_side = {
+        (r.a_id, r.b_id)
+        for r in distance_join(
+            left, right, 2.0, salt_threshold=27, salt_buckets=4
+        ).collect()
+    }
+    assert one_side == base
 
 
 def test_distance_join_validates_cell_size(spark):
