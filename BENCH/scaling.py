@@ -153,10 +153,14 @@ def main() -> None:
     }
     print(json.dumps(summary))
     # persist for bench.py to surface the latest real measurement in its
-    # JSON line (never a hardcoded constant)
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_last.json")
-    with open(art, "w") as f:
+    # JSON line (never a hardcoded constant); the per-leg artifact keeps
+    # the 8->32 bandwidth-wall number visible alongside the 2->8 one
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(bench_dir, f"scaling_last_{lo}_{hi}.json"), "w") as f:
         json.dump(summary, f, indent=1)
+    if (lo, hi) == (2, 8):
+        with open(os.path.join(bench_dir, "scaling_last.json"), "w") as f:
+            json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -30,20 +30,38 @@ BENCH_MIN_PREV = 0.1
 
 
 def _scaling_artifact() -> dict:
-    """Latest BENCH/scaling.py summary (empty if it never ran here)."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_last.json"
-    )
+    """Latest BENCH/scaling.py summaries (empty if they never ran here).
+    Reports BOTH measured legs: 2->8 (the north-rule window with bandwidth
+    headroom) and 8->32 (kept visible every round — the single-socket
+    memory-bandwidth wall documented in BENCH/BASELINE.md)."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    out: dict = {}
     try:
-        with open(path) as f:
+        with open(os.path.join(bench_dir, "scaling_last.json")) as f:
             s = json.load(f)
-        return {
-            "scaling_efficiency_last_measured": s.get("scaling_efficiency"),
-            "scaling_passes_north_rule": s.get("passes_north_rule"),
-            "scaling_metric": s.get("metric"),
-        }
+        out.update(
+            {
+                "scaling_efficiency_last_measured": s.get("scaling_efficiency"),
+                "scaling_passes_north_rule": s.get("passes_north_rule"),
+                "scaling_metric": s.get("metric"),
+            }
+        )
     except (OSError, ValueError):
-        return {}
+        pass
+    try:
+        with open(os.path.join(bench_dir, "scaling_last_8_32.json")) as f:
+            s = json.load(f)
+        out["scaling_efficiency_8_32"] = s.get("scaling_efficiency")
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(bench_dir, "hll_last.json")) as f:
+            h = json.load(f)
+        out["hll_participation_speedup"] = h.get("speedup")
+        out["hll_pattern_flips"] = h.get("pattern_flips")
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def main() -> None:
@@ -101,6 +119,13 @@ def main() -> None:
         lambda: eng.ColocationMiner(
             spark, eng.ColocationConfig(BENCH_D, BENCH_MIN_PREV)
         ).mine(inst),
+    )
+    # the Algorithm-3 subtree plan (the scaling flagship) on the same input
+    timed(
+        "colocation_mine_subtree",
+        lambda: eng.ColocationMiner(
+            spark, eng.ColocationConfig(BENCH_D, BENCH_MIN_PREV)
+        ).mine_subtrees(inst),
     )
     grid = compute_bounds(inst, BENCH_D)
     timed("tile_counts", lambda: tile_counts(inst, grid).count())

@@ -137,10 +137,11 @@ def lsh_topk(
     Recall < 1 by design — the scale path when a full scan is too
     expensive; bench.py measures realized recall vs cosine_topk every run.
     For a neighbor at cosine s, per-plane agreement p = 1 - acos(s)/pi —
-    with the defaults recall >= 0.999 at s >= 0.8 even without multiprobe,
-    degrading on unstructured (near-orthogonal) corpora where true top-k
-    neighbors are barely closer than random — a data property, not a
-    construction defect.  Same output shape as cosine_topk.
+    with the defaults (full-rank distinct planes) recall at s >= 0.8 is
+    ~0.996 without multiprobe and > 0.999 with it, degrading on
+    unstructured (near-orthogonal) corpora where true top-k neighbors are
+    barely closer than random — a data property, not a construction
+    defect.  Same output shape as cosine_topk.
     """
     # Signatures come from the vectorized numpy path (one matmul per Arrow
     # batch).  Its quantization rounds half-to-even (np.round); SQL oracles

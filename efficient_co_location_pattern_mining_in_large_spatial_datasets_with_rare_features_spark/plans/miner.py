@@ -189,24 +189,15 @@ class ColocationMiner:
         pi_map: dict[Pattern, float],
         wpi_map: dict[Pattern, float],
         encode_ids: bool = True,
+        subdir: str | None = None,
     ) -> None:
         if not self.config.checkpoint_dir:
             return
-        path = self._ckpt_path(f"level_{k}")
+        parts = ([subdir] if subdir else []) + [f"level_{k}"]
+        path = self._ckpt_path(*parts)
         table_dir = os.path.join(path, "table")
         table.write.mode("overwrite").parquet(table_dir)
-        # Per-partition row counts come from the parquet FOOTERS of the files
-        # just written — metadata-only, no second scan of the level's data
-        # (each task writes one part file, so file == partition).
-        import pyarrow.parquet as pq
-
-        part_files = sorted(
-            f for f in os.listdir(table_dir) if f.endswith(".parquet")
-        )
-        part_counts = [
-            [i, pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows]
-            for i, f in enumerate(part_files)
-        ]
+        part_counts = self._partition_counts(table_dir)
         manifest = {
             "level": k,
             "row_count": table_rows,
@@ -225,23 +216,109 @@ class ColocationMiner:
                 "written_at": time.time(),
             },
         }
-        tmp = self._ckpt_path(f"level_{k}", "manifest.json.tmp")
+        tmp = os.path.join(path, "manifest.json.tmp")
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self._ckpt_path(f"level_{k}", "manifest.json"))
+        os.replace(tmp, os.path.join(path, "manifest.json"))
 
-    def _load_manifests(self) -> list[dict]:
-        if not self.config.checkpoint_dir or not os.path.isdir(self.config.checkpoint_dir):
+    def _partition_counts(self, table_dir: str) -> list[list[int]]:
+        """Per-partition row counts for the manifest.
+
+        Fast path: parquet FOOTERS of the files just written — metadata-
+        only, no second scan (each task writes one part file, so file ==
+        partition).  That hard-binds to a driver-local checkpoint dir; when
+        the dir is not locally listable (e.g. an hdfs:// / s3a:// URI, or
+        a writer that produced a layout listdir cannot see) fall back to a
+        Spark re-read counted by partition id, which works on any
+        filesystem Spark can reach."""
+        import urllib.parse
+
+        scheme = urllib.parse.urlparse(table_dir).scheme
+        if scheme in ("", "file"):
+            try:
+                import pyarrow.parquet as pq
+
+                local = table_dir[7:] if scheme == "file" else table_dir
+                part_files = sorted(
+                    f for f in os.listdir(local) if f.endswith(".parquet")
+                )
+                return [
+                    [i, pq.ParquetFile(os.path.join(local, f)).metadata.num_rows]
+                    for i, f in enumerate(part_files)
+                ]
+            except OSError:
+                pass
+        rows = (
+            self.spark.read.parquet(table_dir)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return sorted([int(r["p"]), int(r["n"])] for r in rows)
+
+    def _load_manifests(self, subdir: str | None = None) -> list[dict]:
+        base = self.config.checkpoint_dir
+        if base and subdir:
+            base = os.path.join(base, subdir)
+        if not base or not os.path.isdir(base):
             return []
         out = []
-        for name in sorted(os.listdir(self.config.checkpoint_dir)):
-            mpath = os.path.join(self.config.checkpoint_dir, name, "manifest.json")
+        for name in sorted(os.listdir(base)):
+            mpath = os.path.join(base, name, "manifest.json")
             if name.startswith("level_") and os.path.exists(mpath):
                 with open(mpath) as f:
                     out.append(json.load(f))
         out.sort(key=lambda m: m["level"])
         return out
+
+    def _validate_manifest_config(self, last: dict) -> None:
+        """Checkpointed levels were mined under a specific semantic config;
+        silently mixing levels from different (d, min_prev) — or exact vs
+        HLL-approximate participation — would corrupt the result set.
+        Refuse to resume on mismatch.  (Manifests written before approx_rsd
+        existed carry no key: treat as exact, i.e. None.)"""
+        cfg = self.config
+        ck = last["lineage"]["config"]
+        if (
+            ck["neighbor_distance"] != cfg.neighbor_distance
+            or ck["min_prevalence"] != cfg.min_prevalence
+            or ck.get("approx_rsd") != cfg.approx_rsd
+        ):
+            raise ValueError(
+                "checkpoint was mined under config "
+                f"(d={ck['neighbor_distance']}, "
+                f"min_prev={ck['min_prevalence']}, "
+                f"approx_rsd={ck.get('approx_rsd')}) but the active "
+                f"config is (d={cfg.neighbor_distance}, "
+                f"min_prev={cfg.min_prevalence}, "
+                f"approx_rsd={cfg.approx_rsd}); clear "
+                f"{cfg.checkpoint_dir} or match the config to resume"
+            )
+
+    def _load_manifests_any_subtree(self) -> list[dict]:
+        """Manifests from any ``subtree_*`` dir (first found wins upstream:
+        callers only need one to pin encoding/config)."""
+        base = self.config.checkpoint_dir
+        if not base or not os.path.isdir(base):
+            return []
+        out: list[dict] = []
+        for name in sorted(os.listdir(base)):
+            if name.startswith("subtree_"):
+                out.extend(self._load_manifests(subdir=name))
+        return out
+
+    def _invalidate_manifests(self) -> None:
+        """Remove every level manifest (levelwise and per-subtree) so no
+        later resume can mix id encodings after a collision fallback."""
+        cfg = self.config
+        if not (cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir)):
+            return
+        for root, _dirs, files in os.walk(cfg.checkpoint_dir):
+            if "manifest.json" in files and os.path.basename(root).startswith(
+                "level_"
+            ):
+                os.remove(os.path.join(root, "manifest.json"))
 
     # ---------------------------------------------------------------- plan
     def _stats(self, instances: DataFrame, check_hashes: bool = True):
@@ -464,6 +541,13 @@ class ColocationMiner:
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
         # count jobs over pairs or edges).
         edges = self._encoded_edges(instances, counts, rank, encode_ids)
+        # Same clique-join-key pre-partitioning as mine_subtrees: every
+        # level k>=3 joins edges on (center_id, nbr_feature); one upfront
+        # shuffle replaces one edge shuffle per level.  Skipped for small
+        # inputs whose edge subsets broadcast anyway.
+        if sum(counts.values()) >= 200_000:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = edges.repartition(nparts, "center_id", "nbr_feature")
         if cfg.persist_intermediates:
             edges = edges.persist()
         pair_count = 0
@@ -488,22 +572,7 @@ class ColocationMiner:
                 # the result set. Refuse to resume on mismatch. (Manifests
                 # written before approx_rsd existed carry no key: treat as
                 # exact, i.e. None.)
-                ck = last["lineage"]["config"]
-                if (
-                    ck["neighbor_distance"] != cfg.neighbor_distance
-                    or ck["min_prevalence"] != cfg.min_prevalence
-                    or ck.get("approx_rsd") != cfg.approx_rsd
-                ):
-                    raise ValueError(
-                        "checkpoint was mined under config "
-                        f"(d={ck['neighbor_distance']}, "
-                        f"min_prev={ck['min_prevalence']}, "
-                        f"approx_rsd={ck.get('approx_rsd')}) but the active "
-                        f"config is (d={cfg.neighbor_distance}, "
-                        f"min_prev={cfg.min_prevalence}, "
-                        f"approx_rsd={cfg.approx_rsd}); clear "
-                        f"{cfg.checkpoint_dir} or match the config to resume"
-                    )
+                self._validate_manifest_config(last)
                 for m in manifests:
                     if m["level"] == 2:
                         pair_count = m["row_count"]
@@ -636,11 +705,7 @@ class ColocationMiner:
         # checkpoints written this run carry collision-tainted encoded ids;
         # invalidate their manifests so no later resume can mix encodings.
         if encode_ids and not join_check():
-            if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir):
-                for name in os.listdir(cfg.checkpoint_dir):
-                    mpath = os.path.join(cfg.checkpoint_dir, name, "manifest.json")
-                    if name.startswith("level_") and os.path.exists(mpath):
-                        os.remove(mpath)
+            self._invalidate_manifests()
             return self.mine(instances, resume=False, _encode=False)
 
         return MiningResult(
@@ -654,7 +719,11 @@ class ColocationMiner:
 
     # ---------------------------------------------------- subtree variant
     def mine_subtrees(
-        self, instances: DataFrame, max_workers: int = 8, _encode: bool = True
+        self,
+        instances: DataFrame,
+        max_workers: int = 8,
+        resume: bool = False,
+        _encode: bool = True,
     ) -> MiningResult:
         """Paper Algorithm-3 physical plan (§5.2): partition mining by the
         pattern's rarest feature.
@@ -672,17 +741,44 @@ class ColocationMiner:
         level-2 stats job, then run their level loops CONCURRENTLY from a
         thread pool — per-level driver barriers of different subtrees
         overlap, so executors stay busy where the level-wise plan would
-        idle at each collect.  Opt-in alternative plan; no checkpoint/resume
-        support (use ``mine()`` for that).
+        idle at each collect.
+
+        Checkpoint/resume mirrors ``mine()`` at subtree granularity: with
+        ``config.checkpoint_dir`` set, each subtree writes its levels under
+        ``subtree_<root_rank>/level_<k>/`` (same manifest format), and
+        ``mine_subtrees(resume=True)`` restarts every subtree after its own
+        last complete level — a failure mid-run costs at most one level per
+        in-flight subtree.
         """
         cfg = self.config
         spark = self.spark
 
+        encode_ids = _encode
+        if resume:
+            # any subtree manifest fixes the id encoding for the whole run
+            # (all subtrees share one edge table)
+            for m in self._load_manifests_any_subtree():
+                encode_ids = m["lineage"].get("encode_ids", True)
+                self._validate_manifest_config(m)
+                break
+
         counts, rank, delta_value, join_check = self._stats(
-            instances, check_hashes=_encode
+            instances, check_hashes=encode_ids
         )
         ranked = measures.rank_features(counts)
-        edges = self._encoded_edges(instances, counts, rank, _encode).persist()
+        # Pre-partition the shared edge table on the clique-join key: every
+        # subtree's every level joins edges on (center_id, nbr_feature), so
+        # a cached hash-partitioned table satisfies each join's required
+        # distribution and the per-level per-subtree edge re-shuffles
+        # collapse into this one upfront shuffle (measured −28% on the
+        # 2M-instance level-3 wall).  Below ~200k instances the edge
+        # subsets broadcast anyway (≤10 MB), so the upfront shuffle would
+        # be pure overhead — skip it there.
+        edges = self._encoded_edges(instances, counts, rank, encode_ids)
+        if sum(counts.values()) >= 200_000:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = edges.repartition(nparts, "center_id", "nbr_feature")
+        edges = edges.persist()
 
         # One global job covers every subtree's level-2 participation.
         k2_rows = (
@@ -699,49 +795,76 @@ class ColocationMiner:
 
         def run_subtree(f: str) -> tuple[list[Pattern], dict[Pattern, float], list[LevelStats]]:
             root = rank[f]
+            sd = f"subtree_{root}"
             patterns: list[Pattern] = []
             wpi_all: dict[Pattern, float] = {}
             levels: list[LevelStats] = []
 
-            t0 = time.time()
-            filtered: list[Pattern] = [
-                (f, g) for g in ranked if rank[g] > root
-            ]
-            if not filtered:
-                return patterns, wpi_all, levels
-            part: dict[int, dict[int, int]] = {}
-            rows_by_pid: dict[int, int] = {}
-            for pid, c in enumerate(filtered):
-                r = k2.get((rank[c[0]], rank[c[1]]))
-                if r is not None:
-                    part[pid] = {0: r["n0"], 1: r["n1"]}
-                    rows_by_pid[pid] = r["rows"]
-            prevalent, pi_map, wpi_map = self._select_prevalent(
-                filtered, part, counts, delta_value
-            )
-            pid_map = spark.createDataFrame(
-                [(rank[c[0]], rank[c[1]], pid) for pid, c in enumerate(filtered)],
-                "center_feature int, nbr_feature int, pid int",
-            )
-            t_prev = edges.join(
-                F.broadcast(pid_map), ["center_feature", "nbr_feature"]
-            ).select(
-                "pid",
-                F.array(F.col("center_id"), F.col("nbr_id")).alias("inst"),
-            )
-            patterns.extend(prevalent)
-            for c in prevalent:
-                wpi_all[c] = wpi_map[c]
-            levels.append(
-                LevelStats(
-                    2, len(filtered), len(filtered), len(prevalent),
-                    sum(rows_by_pid.values()), time.time() - t0, f,
+            manifests = self._load_manifests(subdir=sd) if resume else []
+            if manifests:
+                last = manifests[-1]
+                self._validate_manifest_config(last)
+                for m in manifests:
+                    prev = [tuple(p) for p in m["prevalent"]]
+                    patterns.extend(prev)
+                    prev_set = set(prev)
+                    for key, v in m["wpi"].items():
+                        pat = tuple(key.split(","))
+                        if pat in prev_set:
+                            wpi_all[pat] = v
+                prevalent_prev = [tuple(p) for p in last["prevalent"]]
+                filtered_prev = [
+                    tuple(p) for p in last["filtered_candidates"]
+                ]
+                t_prev = spark.read.parquet(
+                    self._ckpt_path(sd, f"level_{last['level']}", "table")
                 )
-            )
+                k = last["level"] + 1
+                checkpointed: DataFrame | None = None
+            else:
+                t0 = time.time()
+                filtered: list[Pattern] = [
+                    (f, g) for g in ranked if rank[g] > root
+                ]
+                if not filtered:
+                    return patterns, wpi_all, levels
+                part: dict[int, dict[int, int]] = {}
+                rows_by_pid: dict[int, int] = {}
+                for pid, c in enumerate(filtered):
+                    r = k2.get((rank[c[0]], rank[c[1]]))
+                    if r is not None:
+                        part[pid] = {0: r["n0"], 1: r["n1"]}
+                        rows_by_pid[pid] = r["rows"]
+                prevalent, pi_map, wpi_map = self._select_prevalent(
+                    filtered, part, counts, delta_value
+                )
+                pid_map = spark.createDataFrame(
+                    [(rank[c[0]], rank[c[1]], pid) for pid, c in enumerate(filtered)],
+                    "center_feature int, nbr_feature int, pid int",
+                )
+                t_prev = edges.join(
+                    F.broadcast(pid_map), ["center_feature", "nbr_feature"]
+                ).select(
+                    "pid",
+                    F.array(F.col("center_id"), F.col("nbr_id")).alias("inst"),
+                )
+                self._write_level(
+                    2, t_prev, sum(rows_by_pid.values()), filtered, prevalent,
+                    pi_map, wpi_map, encode_ids=encode_ids, subdir=sd,
+                )
+                patterns.extend(prevalent)
+                for c in prevalent:
+                    wpi_all[c] = wpi_map[c]
+                levels.append(
+                    LevelStats(
+                        2, len(filtered), len(filtered), len(prevalent),
+                        sum(rows_by_pid.values()), time.time() - t0, f,
+                    )
+                )
 
-            prevalent_prev, filtered_prev = prevalent, filtered
-            k = 3
-            checkpointed: DataFrame | None = None
+                prevalent_prev, filtered_prev = prevalent, filtered
+                k = 3
+                checkpointed = None
             while prevalent_prev and k <= len(counts) and (
                 cfg.max_pattern_size is None or k <= cfg.max_pattern_size
             ):
@@ -757,11 +880,15 @@ class ColocationMiner:
                 is_final = (
                     cfg.max_pattern_size is not None and k >= cfg.max_pattern_size
                 ) or k >= len(counts)
-                if not is_final:
+                if not is_final or cfg.checkpoint_dir:
                     t_k = t_k.localCheckpoint(eager=True)
                 part, rows_by_pid = self._participation(t_k)
                 prevalent, pi_map, wpi_map = self._select_prevalent(
                     filtered, part, counts, delta_value
+                )
+                self._write_level(
+                    k, t_k, sum(rows_by_pid.values()), filtered, prevalent,
+                    pi_map, wpi_map, encode_ids=encode_ids, subdir=sd,
                 )
                 patterns.extend(prevalent)
                 for c in prevalent:
@@ -788,7 +915,8 @@ class ColocationMiner:
             results = list(ex.map(run_subtree, ranked))
         edges.unpersist()
 
-        if _encode and not join_check():
+        if encode_ids and not join_check():
+            self._invalidate_manifests()
             return self.mine_subtrees(
                 instances, max_workers=max_workers, _encode=False
             )

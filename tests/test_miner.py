@@ -91,6 +91,38 @@ def test_checkpoint_resume_identical(spark, sample_instances, tmp_path):
         eng.ColocationMiner(spark, cfg_changed).mine(sample_instances, resume=True)
 
 
+def test_subtree_checkpoint_resume_identical(spark, sample_instances, tmp_path):
+    """Kill/relaunch on the Algorithm-3 plan: per-subtree manifests must
+    reproduce byte-identical output after dropping one subtree's last
+    level (the levelwise test's contract, at subtree granularity)."""
+    ck = str(tmp_path / "ckpt_sub")
+    cfg = eng.ColocationConfig(5.0, 0.6, checkpoint_dir=ck)
+    res_full = eng.ColocationMiner(spark, cfg).mine_subtrees(sample_instances)
+    # every subtree that mined a level wrote manifests under subtree_<rank>/
+    subdirs = sorted(d for d in os.listdir(ck) if d.startswith("subtree_"))
+    assert subdirs, "subtree checkpoints missing"
+    # simulate failure mid-run: drop subtree_0's level-3 state (keep level 2)
+    import shutil
+
+    victim = os.path.join(ck, "subtree_0", "level_3")
+    assert os.path.isdir(victim)
+    shutil.rmtree(victim)
+    res_resumed = eng.ColocationMiner(spark, cfg).mine_subtrees(
+        sample_instances, resume=True
+    )
+    assert {frozenset(p) for p in res_resumed.patterns} == {
+        frozenset(p) for p in res_full.patterns
+    }
+    assert res_resumed.wpi == res_full.wpi
+    assert res_resumed.pair_count == res_full.pair_count == 48
+    # resuming under a different semantic config must refuse, not mix levels
+    cfg_changed = eng.ColocationConfig(4.0, 0.6, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint was mined under"):
+        eng.ColocationMiner(spark, cfg_changed).mine_subtrees(
+            sample_instances, resume=True
+        )
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 def test_random_mining_matches_oracle(spark, seed):
     rng = np.random.default_rng(seed)
