@@ -57,9 +57,12 @@ def main() -> None:
     exact_set = {tuple(p) for p in res_exact.patterns}
     hll_set = {tuple(p) for p in res_hll.patterns}
     flips = sorted(exact_set ^ hll_set)
-    # how close do WPI values sit to the threshold (flip-risk context)
-    margin = min(
-        (abs(w - MIN_PREV) for w in res_exact.wpi.values()), default=None
+    # directly measured HLL-induced WPI error on the patterns both runs
+    # selected (sub-threshold candidates aren't exposed by mine(), so the
+    # flip evidence is pattern_flips itself, not a margin claim)
+    common = exact_set & hll_set
+    wpi_err = max(
+        (abs(res_exact.wpi[p] - res_hll.wpi[p]) for p in common), default=None
     )
     out = {
         "metric": "miner participation agg: exact countDistinct vs HLL rsd=0.01",
@@ -72,7 +75,7 @@ def main() -> None:
         "patterns_hll": len(hll_set),
         "pattern_flips": len(flips),
         "flipped": [list(p) for p in flips],
-        "min_wpi_margin_exact": margin,
+        "max_wpi_abs_error": wpi_err,
     }
     print(json.dumps(out))
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hll_last.json")

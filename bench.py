@@ -179,7 +179,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     timed("dbscan", lambda: dbscan(inst, BENCH_D, 4).count())
+    # complete contract (straggler fallback fills exact global top-k) and
+    # the radius-bounded variant (round-2 comparable: short lists allowed)
     timed("knn_join", lambda: knn_join(inst, k=5, radius=BENCH_D).count())
+    timed(
+        "knn_join_bounded",
+        lambda: knn_join(inst, k=5, radius=BENCH_D, fallback=False).count(),
+    )
     ordinal = F.expr("CAST(split(id, '#')[1] AS BIGINT)")
     timed(
         "distance_join",

@@ -101,11 +101,20 @@ def neighbor_pairs(
                 occupancy = with_cell(instances, grid).groupBy("cell_x", "cell_y").count()
                 max_occ = occupancy.agg(F.max("count")).collect()[0][0] or 0
         if salt_threshold is not None:
-            hot = occupancy.filter(F.col("count") > salt_threshold).select(
-                "cell_x", "cell_y"
-            ).persist()
-            # hot cells are few by definition (they each hold > threshold rows)
-            hot_cells = hot if hot.count() > 0 else None
+            # hot cells are few by definition (each holds > threshold rows):
+            # collect and rebuild as a local frame so the two broadcast
+            # joins below share one materialization without a persist that
+            # would outlive the call (cache-entry leak)
+            hot_rows = [
+                (int(r["cell_x"]), int(r["cell_y"]))
+                for r in occupancy.filter(F.col("count") > salt_threshold)
+                .select("cell_x", "cell_y")
+                .collect()
+            ]
+            if hot_rows:
+                hot_cells = instances.sparkSession.createDataFrame(
+                    hot_rows, "cell_x int, cell_y int"
+                )
 
     reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
     offsets = forward_offsets(reach)

@@ -171,7 +171,7 @@ def knn_join(
     radius: float = 10.0,
     cell_size: float | None = None,
     fallback: bool = True,
-    broadcast_threshold: int = 100_000,
+    broadcast_threshold: int = 1_000,
 ) -> DataFrame:
     """All-points kNN join: for EVERY instance, its k nearest other
     instances (any feature; ties broken by neighbor id).
@@ -185,10 +185,11 @@ def knn_join(
 
     *Stragglers* (points with fewer than k in-radius neighbors, including
     isolated points with none) are finished automatically when
-    ``fallback=True`` (default): few stragglers (< ``broadcast_threshold``)
-    get one broadcast scan of the corpus (exact global top-k); many get a
+    ``fallback=True`` (default): few stragglers (<= ``broadcast_threshold``)
+    get one broadcast scan of the corpus (exact global top-k); more get a
     geometric radius-widening loop of bichromatic ``distance_join`` passes
-    (x4 per round, capped at the bbox diagonal).  Both paths yield the
+    (x4 per round, capped at the bbox diagonal), whose per-round work is
+    grid-local instead of |stragglers| x |corpus|.  Both paths yield the
     same rows — the in-radius top-k IS the global top-k once >= k
     candidates fall inside the radius — so the output is invariant to
     which path runs.  A straggler still returns < k rows only when the
@@ -246,10 +247,16 @@ def knn_join(
         q = spts.select(
             "qid", F.col("x").alias("qx"), F.col("y").alias("qy")
         )
+        # spread the corpus first: a skinny parquet input would run the
+        # whole |strag| x |corpus| scan + window sort on one core
+        corpus = instances
+        parallelism = instances.sparkSession.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < parallelism:
+            corpus = corpus.repartition(parallelism)
         dx, dy = F.col("x") - F.col("qx"), F.col("y") - F.col("qy")
         cand = (
             F.broadcast(q)
-            .crossJoin(instances)
+            .crossJoin(corpus)
             .filter(F.col("qid") != F.col("id"))
             .select(
                 "qid", "id", "feature", F.sqrt(dx * dx + dy * dy).alias("dist")
@@ -298,6 +305,9 @@ def _widen_candidates(
                 ),
                 corpus,
                 r,
+                # the straggler side is tiny by construction — skip the
+                # dual-hot occupancy pre-scan each round
+                salt_threshold=None,
             )
             .filter(F.col("a_id") != F.col("b_id"))
             .select(F.col("a_id").alias("qid"), F.col("b_id").alias("id"), "dist")
@@ -388,8 +398,18 @@ def distance_join(
             .filter(F.col("count") > salt_threshold)
             .select("cell_x", "cell_y")
         )
-        hot = locc.join(rocc, ["cell_x", "cell_y"]).persist()
-        hot_cells = hot if hot.count() > 0 else None
+        # dual-hot cells are few by definition (each holds > threshold rows
+        # on both sides): collect to the driver and rebuild as a local
+        # frame — both broadcast joins below then reuse it without a
+        # persist that would outlive the call (cache-entry leak)
+        hot_rows = [
+            (int(r["cell_x"]), int(r["cell_y"]))
+            for r in locc.join(rocc, ["cell_x", "cell_y"]).collect()
+        ]
+        if hot_rows:
+            hot_cells = left.sparkSession.createDataFrame(
+                hot_rows, "cell_x int, cell_y int"
+            )
 
     reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
     offsets = [

@@ -234,12 +234,12 @@ class ColocationMiner:
         filesystem Spark can reach."""
         import urllib.parse
 
-        scheme = urllib.parse.urlparse(table_dir).scheme
-        if scheme in ("", "file"):
+        parsed = urllib.parse.urlparse(table_dir)
+        if parsed.scheme in ("", "file"):
             try:
                 import pyarrow.parquet as pq
 
-                local = table_dir[7:] if scheme == "file" else table_dir
+                local = parsed.path if parsed.scheme == "file" else table_dir
                 part_files = sorted(
                     f for f in os.listdir(local) if f.endswith(".parquet")
                 )
@@ -249,13 +249,19 @@ class ColocationMiner:
                 ]
             except OSError:
                 pass
+        # per-FILE counts via input_file_name() — immune to the reader's
+        # split combining (spark_partition_id of a fresh read reflects
+        # maxPartitionBytes packing, not the written partitions)
         rows = (
             self.spark.read.parquet(table_dir)
-            .groupBy(F.spark_partition_id().alias("p"))
+            .groupBy(F.input_file_name().alias("f"))
             .agg(F.count("*").alias("n"))
             .collect()
         )
-        return sorted([int(r["p"]), int(r["n"])] for r in rows)
+        return [
+            [i, int(r["n"])]
+            for i, r in enumerate(sorted(rows, key=lambda r: r["f"]))
+        ]
 
     def _load_manifests(self, subdir: str | None = None) -> list[dict]:
         base = self.config.checkpoint_dir
@@ -396,6 +402,20 @@ class ColocationMiner:
             rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
             (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
         )
+
+    def _prepartitioned(self, edges: DataFrame, counts: Mapping[str, int]) -> DataFrame:
+        """Pre-partition the edge table on the clique-join key: every
+        level-k>=3 join (and, in the subtree plan, every subtree's every
+        level) hits edges on (center_id, nbr_feature), so a cached
+        hash-partitioned table satisfies each join's required distribution
+        and the per-level edge re-shuffles collapse into one upfront
+        shuffle (measured −28% on the 2M-instance level-3 wall).  Below
+        ~200k instances the edge subsets broadcast anyway (≤10 MB) and the
+        upfront shuffle is pure overhead — skip it there."""
+        if sum(counts.values()) < 200_000:
+            return edges
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return edges.repartition(nparts, "center_id", "nbr_feature")
 
     def build_pairs(self, instances: DataFrame) -> DataFrame:
         cfg = self.config
@@ -540,14 +560,9 @@ class ColocationMiner:
         # pairs -> edges is one linear pipeline; only the edges need to be
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
         # count jobs over pairs or edges).
-        edges = self._encoded_edges(instances, counts, rank, encode_ids)
-        # Same clique-join-key pre-partitioning as mine_subtrees: every
-        # level k>=3 joins edges on (center_id, nbr_feature); one upfront
-        # shuffle replaces one edge shuffle per level.  Skipped for small
-        # inputs whose edge subsets broadcast anyway.
-        if sum(counts.values()) >= 200_000:
-            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            edges = edges.repartition(nparts, "center_id", "nbr_feature")
+        edges = self._prepartitioned(
+            self._encoded_edges(instances, counts, rank, encode_ids), counts
+        )
         if cfg.persist_intermediates:
             edges = edges.persist()
         pair_count = 0
@@ -593,7 +608,12 @@ class ColocationMiner:
 
         k = start_k
         features_ranked = measures.rank_features(counts)
-        while True:
+        # Guard the loop entry, not just its bottom: a resume from a
+        # COMPLETED size-capped run sets start_k = cap + 1, which must
+        # mine nothing rather than one level past the configured cap.
+        while (
+            cfg.max_pattern_size is None or k <= cfg.max_pattern_size
+        ) and k <= max(2, len(counts)):
             t0 = time.time()
             if k == 2:
                 # C_2 = all rank-ordered feature pairs; no Lemma filtering
@@ -766,19 +786,9 @@ class ColocationMiner:
             instances, check_hashes=encode_ids
         )
         ranked = measures.rank_features(counts)
-        # Pre-partition the shared edge table on the clique-join key: every
-        # subtree's every level joins edges on (center_id, nbr_feature), so
-        # a cached hash-partitioned table satisfies each join's required
-        # distribution and the per-level per-subtree edge re-shuffles
-        # collapse into this one upfront shuffle (measured −28% on the
-        # 2M-instance level-3 wall).  Below ~200k instances the edge
-        # subsets broadcast anyway (≤10 MB), so the upfront shuffle would
-        # be pure overhead — skip it there.
-        edges = self._encoded_edges(instances, counts, rank, encode_ids)
-        if sum(counts.values()) >= 200_000:
-            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            edges = edges.repartition(nparts, "center_id", "nbr_feature")
-        edges = edges.persist()
+        edges = self._prepartitioned(
+            self._encoded_edges(instances, counts, rank, encode_ids), counts
+        ).persist()
 
         # One global job covers every subtree's level-2 participation.
         k2_rows = (
@@ -911,9 +921,13 @@ class ColocationMiner:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            results = list(ex.map(run_subtree, ranked))
-        edges.unpersist()
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                results = list(ex.map(run_subtree, ranked))
+        finally:
+            # a failing subtree (config mismatch on resume, executor error)
+            # must not leave the freshly-shuffled edge cache pinned
+            edges.unpersist()
 
         if encode_ids and not join_check():
             self._invalidate_manifests()

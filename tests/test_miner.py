@@ -91,6 +91,20 @@ def test_checkpoint_resume_identical(spark, sample_instances, tmp_path):
         eng.ColocationMiner(spark, cfg_changed).mine(sample_instances, resume=True)
 
 
+def test_resume_after_completed_capped_run_is_noop(spark, sample_instances, tmp_path):
+    """Resuming a COMPLETED max_pattern_size-bounded run must not mine one
+    level past the cap (start_k = cap + 1 must skip the loop entirely)."""
+    ck = str(tmp_path / "ckpt_cap")
+    cfg = eng.ColocationConfig(5.0, 0.6, max_pattern_size=2, checkpoint_dir=ck)
+    res_full = eng.ColocationMiner(spark, cfg).mine(sample_instances)
+    assert all(len(p) == 2 for p in res_full.patterns)
+    res_resumed = eng.ColocationMiner(spark, cfg).mine(sample_instances, resume=True)
+    assert sorted(res_resumed.patterns) == sorted(res_full.patterns)
+    assert res_resumed.pair_count == res_full.pair_count
+    # no level past the cap was checkpointed by the resumed run
+    assert not os.path.isdir(os.path.join(ck, "level_3"))
+
+
 def test_subtree_checkpoint_resume_identical(spark, sample_instances, tmp_path):
     """Kill/relaunch on the Algorithm-3 plan: per-subtree manifests must
     reproduce byte-identical output after dropping one subtree's last
