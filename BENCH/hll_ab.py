@@ -1,18 +1,26 @@
 """approx_rsd (HyperLogLog++ participation) A/B at scale: the 2M-instance
-scaling workload mined twice — exact countDistinct vs approx_count_distinct
+scaling workload mined with exact countDistinct vs approx_count_distinct
 (rsd=0.01) — quantifying the distinct-shuffle saving of the heaviest
 aggregate in the plan (plans/miner.py::_ndistinct) and the pattern-flip
 rate near the prevalence threshold.
 
-Run:  python BENCH/hll_ab.py           # prints one JSON line, saves
-                                       # BENCH/hll_last.json
-Env:  SPARK_GRAFT_SCALE_REP / _D / _MAXK reuse scaling.py's knobs.
+Methodology mirrors scaling.py: each leg runs in its OWN subprocess/JVM
+(an in-process A/B turned out to be order-biased: the third consecutive
+2M mine in one JVM paid accumulating heap/GC pressure, flipping the
+result between runs), best-of-N per leg, warmup inside each JVM.
+
+Run:  python BENCH/hll_ab.py            # prints one JSON line, saves
+                                        # BENCH/hll_last.json
+      python BENCH/hll_ab.py --one exact|hll   # single leg (internal)
+Env:  SPARK_GRAFT_SCALE_REP / _D / _MAXK reuse scaling.py's knobs;
+      SPARK_GRAFT_HLL_RUNS (default 2) = runs per leg.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,66 +30,94 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from BENCH.scaling import D, MAX_K, MIN_PREV, REP, build_instances  # noqa: E402
 
 
-def mine_once(spark, inst, approx_rsd: float | None):
+def run_leg(mode: str) -> dict:
     import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
 
-    t0 = time.time()
-    res = eng.ColocationMiner(
-        spark,
-        eng.ColocationConfig(
-            D,
-            MIN_PREV,
-            max_pattern_size=MAX_K,
-            salt_threshold=None,
-            approx_rsd=approx_rsd,
-        ),
-    ).mine_subtrees(inst)
-    return time.time() - t0, res
-
-
-def main() -> None:
-    import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
-
+    rsd = 0.01 if mode == "hll" else None
     spark = eng.get_spark(
         "local[32]",
-        app_name="hll-ab",
+        app_name=f"hll-ab-{mode}",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
     )
     spark.sparkContext.setLogLevel("ERROR")
     inst = build_instances(spark, REP).persist()
-    n = inst.count()
-    # warm JIT/caches once so the A/B legs see the same state
-    mine_once(spark, inst, None)
-    t_exact, res_exact = mine_once(spark, inst, None)
-    t_hll, res_hll = mine_once(spark, inst, 0.01)
-    exact_set = {tuple(p) for p in res_exact.patterns}
-    hll_set = {tuple(p) for p in res_hll.patterns}
-    flips = sorted(exact_set ^ hll_set)
-    # directly measured HLL-induced WPI error on the patterns both runs
-    # selected (sub-threshold candidates aren't exposed by mine(), so the
-    # flip evidence is pattern_flips itself, not a margin claim)
-    common = exact_set & hll_set
-    wpi_err = max(
-        (abs(res_exact.wpi[p] - res_hll.wpi[p]) for p in common), default=None
-    )
+    inst.count()
+
+    def mine():
+        t0 = time.time()
+        res = eng.ColocationMiner(
+            spark,
+            eng.ColocationConfig(
+                D,
+                MIN_PREV,
+                max_pattern_size=MAX_K,
+                salt_threshold=None,
+                approx_rsd=rsd,
+            ),
+        ).mine_subtrees(inst)
+        return time.time() - t0, res
+
+    mine()  # JIT/codegen warmup inside this JVM
+    wall, res = mine()
     out = {
+        "mode": mode,
+        "wall_sec": round(wall, 2),
+        "pairs": res.pair_count,
+        "patterns": sorted(",".join(p) for p in res.patterns),
+        "wpi": {",".join(p): v for p, v in res.wpi.items()},
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        print(json.dumps(run_leg(sys.argv[2])))
+        return
+    reps = int(os.environ.get("SPARK_GRAFT_HLL_RUNS", "2"))
+    best: dict[str, dict] = {}
+    for mode in ("exact", "hll"):
+        for _ in range(reps):
+            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", mode],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=1800,
+            )
+            run = json.loads(out.stdout.strip().splitlines()[-1])
+            print(json.dumps({k: run[k] for k in ("mode", "wall_sec", "pairs")}), flush=True)
+            if mode not in best or run["wall_sec"] < best[mode]["wall_sec"]:
+                best[mode] = run
+    exact, hll = best["exact"], best["hll"]
+    exact_set, hll_set = set(exact["patterns"]), set(hll["patterns"])
+    flips = sorted(exact_set ^ hll_set)
+    wpi_err = max(
+        (
+            abs(exact["wpi"][p] - hll["wpi"][p])
+            for p in exact_set & hll_set
+        ),
+        default=None,
+    )
+    summary = {
         "metric": "miner participation agg: exact countDistinct vs HLL rsd=0.01",
-        "n_instances": n,
-        "pairs": res_exact.pair_count,
-        "exact_sec": round(t_exact, 2),
-        "hll_sec": round(t_hll, 2),
-        "speedup": round(t_exact / t_hll, 3),
+        "n_instances": 2_000_000 // 20 * REP,
+        "pairs": exact["pairs"],
+        "exact_sec": exact["wall_sec"],
+        "hll_sec": hll["wall_sec"],
+        "speedup": round(exact["wall_sec"] / hll["wall_sec"], 3),
         "patterns_exact": len(exact_set),
         "patterns_hll": len(hll_set),
         "pattern_flips": len(flips),
-        "flipped": [list(p) for p in flips],
+        "flipped": flips,
         "max_wpi_abs_error": wpi_err,
+        "runs_per_leg": reps,
     }
-    print(json.dumps(out))
+    print(json.dumps(summary))
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hll_last.json")
     with open(art, "w") as f:
-        json.dump(out, f, indent=1)
-    spark.stop()
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

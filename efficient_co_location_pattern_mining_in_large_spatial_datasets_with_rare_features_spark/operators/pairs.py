@@ -34,6 +34,7 @@ canonicalized so ``a_id < b_id``.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +42,34 @@ from pyspark.sql import functions as F
 from .cells import GridSpec, compute_bounds, with_cell
 
 _INST_COLS = ("feature", "id", "x", "y")
+
+#: driver-side bound on the materialized hot-cell set: hot cells number at
+#: most total_rows / salt_threshold, so the default 50k threshold cannot
+#: approach this, but a user-chosen tiny threshold on a huge input could.
+_MAX_HOT_CELLS = 100_000
+
+
+def hot_cells_local(hot: DataFrame, cap: int = _MAX_HOT_CELLS) -> DataFrame | None:
+    """Materialize a (cell_x, cell_y, weight) hot-cell plan as a small
+    driver-local frame for the salting broadcast joins (shared by
+    neighbor_pairs and distance_join — no persist that would outlive the
+    caller).  If the plan exceeds ``cap`` cells, only the ``cap``
+    heaviest are salted (salting any subset is output-invariant; the
+    rest fall back to AQE) and a warning is emitted."""
+    rows = hot.orderBy(F.col("weight").desc()).limit(cap + 1).collect()
+    if not rows:
+        return None
+    if len(rows) > cap:
+        warnings.warn(
+            f"more than {cap} hot cells; salting only the {cap} heaviest "
+            "(raise salt_threshold or the cap for full coverage)",
+            stacklevel=2,
+        )
+        rows = rows[:cap]
+    return hot.sparkSession.createDataFrame(
+        [(int(r["cell_x"]), int(r["cell_y"])) for r in rows],
+        "cell_x int, cell_y int",
+    )
 
 
 def forward_offsets(reach: int) -> list[tuple[int, int]]:
@@ -101,20 +130,11 @@ def neighbor_pairs(
                 occupancy = with_cell(instances, grid).groupBy("cell_x", "cell_y").count()
                 max_occ = occupancy.agg(F.max("count")).collect()[0][0] or 0
         if salt_threshold is not None:
-            # hot cells are few by definition (each holds > threshold rows):
-            # collect and rebuild as a local frame so the two broadcast
-            # joins below share one materialization without a persist that
-            # would outlive the call (cache-entry leak)
-            hot_rows = [
-                (int(r["cell_x"]), int(r["cell_y"]))
-                for r in occupancy.filter(F.col("count") > salt_threshold)
-                .select("cell_x", "cell_y")
-                .collect()
-            ]
-            if hot_rows:
-                hot_cells = instances.sparkSession.createDataFrame(
-                    hot_rows, "cell_x int, cell_y int"
+            hot_cells = hot_cells_local(
+                occupancy.filter(F.col("count") > salt_threshold).select(
+                    "cell_x", "cell_y", F.col("count").alias("weight")
                 )
+            )
 
     reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
     offsets = forward_offsets(reach)

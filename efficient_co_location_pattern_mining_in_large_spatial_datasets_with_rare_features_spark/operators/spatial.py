@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .cells import compute_bounds, with_cell
+from .pairs import hot_cells_local
 
 
 def point_in_polygon(
@@ -387,29 +388,21 @@ def distance_join(
         locc = (
             with_cell(lpts, grid)
             .groupBy("cell_x", "cell_y")
-            .count()
-            .filter(F.col("count") > salt_threshold)
-            .select("cell_x", "cell_y")
+            .agg(F.count("*").alias("lc"))
+            .filter(F.col("lc") > salt_threshold)
         )
         rocc = (
             with_cell(rpts, grid)
             .groupBy("cell_x", "cell_y")
-            .count()
-            .filter(F.col("count") > salt_threshold)
-            .select("cell_x", "cell_y")
+            .agg(F.count("*").alias("rc"))
+            .filter(F.col("rc") > salt_threshold)
         )
-        # dual-hot cells are few by definition (each holds > threshold rows
-        # on both sides): collect to the driver and rebuild as a local
-        # frame — both broadcast joins below then reuse it without a
-        # persist that would outlive the call (cache-entry leak)
-        hot_rows = [
-            (int(r["cell_x"]), int(r["cell_y"]))
-            for r in locc.join(rocc, ["cell_x", "cell_y"]).collect()
-        ]
-        if hot_rows:
-            hot_cells = left.sparkSession.createDataFrame(
-                hot_rows, "cell_x int, cell_y int"
+        # dual-hot only; weight = candidate work the cell would generate
+        hot_cells = hot_cells_local(
+            locc.join(rocc, ["cell_x", "cell_y"]).select(
+                "cell_x", "cell_y", (F.col("lc") * F.col("rc")).alias("weight")
             )
+        )
 
     reach = max(1, math.ceil(d / grid.cell_size - 1e-12))
     offsets = [

@@ -211,6 +211,7 @@ class ColocationMiner:
                     "neighbor_distance": self.config.neighbor_distance,
                     "min_prevalence": self.config.min_prevalence,
                     "approx_rsd": self.config.approx_rsd,
+                    "max_pattern_size": self.config.max_pattern_size,
                 },
                 "encode_ids": encode_ids,
                 "written_at": time.time(),
@@ -247,11 +248,16 @@ class ColocationMiner:
                     [i, pq.ParquetFile(os.path.join(local, f)).metadata.num_rows]
                     for i, f in enumerate(part_files)
                 ]
-            except OSError:
+            except Exception:  # noqa: BLE001 — any unusable fast path
+                # (missing pyarrow, unreadable dir, corrupt footer) must
+                # fall through to the Spark re-read, never abort the run
                 pass
         # per-FILE counts via input_file_name() — immune to the reader's
         # split combining (spark_partition_id of a fresh read reflects
-        # maxPartitionBytes packing, not the written partitions)
+        # maxPartitionBytes packing, not the written partitions).  NOTE:
+        # zero-row part files produce no group here, so this path omits
+        # them where the footer path lists [i, 0] — only the sum is
+        # contractual; the per-entry list is diagnostic.
         rows = (
             self.spark.read.parquet(table_dir)
             .groupBy(F.input_file_name().alias("f"))
@@ -286,19 +292,26 @@ class ColocationMiner:
         existed carry no key: treat as exact, i.e. None.)"""
         cfg = self.config
         ck = last["lineage"]["config"]
+        # max_pattern_size participates too: resuming a deeper-mined
+        # checkpoint under a smaller cap would report manifest patterns
+        # above the active cap (manifests written before the key existed
+        # carry None = uncapped).
         if (
             ck["neighbor_distance"] != cfg.neighbor_distance
             or ck["min_prevalence"] != cfg.min_prevalence
             or ck.get("approx_rsd") != cfg.approx_rsd
+            or ck.get("max_pattern_size") != cfg.max_pattern_size
         ):
             raise ValueError(
                 "checkpoint was mined under config "
                 f"(d={ck['neighbor_distance']}, "
                 f"min_prev={ck['min_prevalence']}, "
-                f"approx_rsd={ck.get('approx_rsd')}) but the active "
-                f"config is (d={cfg.neighbor_distance}, "
+                f"approx_rsd={ck.get('approx_rsd')}, "
+                f"max_pattern_size={ck.get('max_pattern_size')}) but the "
+                f"active config is (d={cfg.neighbor_distance}, "
                 f"min_prev={cfg.min_prevalence}, "
-                f"approx_rsd={cfg.approx_rsd}); clear "
+                f"approx_rsd={cfg.approx_rsd}, "
+                f"max_pattern_size={cfg.max_pattern_size}); clear "
                 f"{cfg.checkpoint_dir} or match the config to resume"
             )
 
@@ -611,9 +624,13 @@ class ColocationMiner:
         # Guard the loop entry, not just its bottom: a resume from a
         # COMPLETED size-capped run sets start_k = cap + 1, which must
         # mine nothing rather than one level past the configured cap.
-        while (
+        # The finally mirrors mine_subtrees: a level job failing mid-loop
+        # must not leave the edge cache or the last level's checkpoint
+        # pinned for the life of the session.
+        try:
+          while (
             cfg.max_pattern_size is None or k <= cfg.max_pattern_size
-        ) and k <= max(2, len(counts)):
+          ) and k <= max(2, len(counts)):
             t0 = time.time()
             if k == 2:
                 # C_2 = all rank-ordered feature pairs; no Lemma filtering
@@ -714,11 +731,11 @@ class ColocationMiner:
                 break
             if k > len(counts):
                 break
-
-        if t_prev is not None:
-            t_prev.unpersist()
-        if cfg.persist_intermediates:
-            edges.unpersist()
+        finally:
+            if t_prev is not None:
+                t_prev.unpersist()
+            if cfg.persist_intermediates:
+                edges.unpersist()
 
         # Join the optimistic injectivity check: on the ~2^-64-probability
         # unlucky branch, rebuild everything with exact string ids.  The

@@ -103,6 +103,11 @@ def test_resume_after_completed_capped_run_is_noop(spark, sample_instances, tmp_
     assert res_resumed.pair_count == res_full.pair_count
     # no level past the cap was checkpointed by the resumed run
     assert not os.path.isdir(os.path.join(ck, "level_3"))
+    # resuming under a DIFFERENT cap must refuse (a deeper checkpoint
+    # resumed under a smaller cap would report patterns above it)
+    cfg_uncapped = eng.ColocationConfig(5.0, 0.6, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint was mined under"):
+        eng.ColocationMiner(spark, cfg_uncapped).mine(sample_instances, resume=True)
 
 
 def test_subtree_checkpoint_resume_identical(spark, sample_instances, tmp_path):
