@@ -53,6 +53,31 @@ def test_physical_knobs_output_invariant(spark, sample_instances, kwargs):
     assert got == base
 
 
+def test_hot_cells_local_cap_keeps_heaviest(spark):
+    import warnings as _w
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.pairs import (
+        hot_cells_local,
+    )
+
+    hot = spark.createDataFrame(
+        [(0, 0, 10), (1, 0, 99), (2, 0, 50)],
+        "cell_x int, cell_y int, weight int",
+    )
+    # under the cap: all cells kept
+    assert hot_cells_local(hot, cap=5).count() == 3
+    # over the cap: only the heaviest survive, with a warning
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        kept = {
+            (r.cell_x, r.cell_y) for r in hot_cells_local(hot, cap=2).collect()
+        }
+    assert kept == {(1, 0), (2, 0)}
+    assert any("hot cells" in str(w.message) for w in rec)
+    # empty plan -> None (salting disabled)
+    assert hot_cells_local(hot.limit(0)) is None
+
+
 def test_random_datasets_match_brute_force(spark):
     rng = np.random.default_rng(7)
     for trial in range(3):
