@@ -717,6 +717,45 @@ def _q_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_dedup_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup (watermarked dropDuplicates) drained
+    with availableNow: the emitted distinct content-hash set must equal
+    batch SELECT DISTINCT md5(text).  The corpus unions exact copies of
+    every 100th doc so the dedup state actually drops rows (the raw
+    synthetic corpus has no exact duplicates — a copy-free check would be
+    vacuous)."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies).withColumn(
+        # deterministic event time spread well inside the watermark delay
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 86_400),
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    corpus.write.mode("overwrite").parquet(tmp)
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_exact_dedup(spark, tmp)
+    run_available_now(
+        sdf, tempfile.mkdtemp(prefix="dedup_stream_ck_"), name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 PYRAMID_LEVELS = 4
 
 
@@ -939,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         "pairs_stream_backfill": _q_pairs_stream_backfill,
+        "dedup_stream_backfill": _q_dedup_stream_backfill,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
@@ -1145,6 +1185,16 @@ WITH h AS (
   FROM h
 )
 SELECT doc_id, canonical_id, group_size FROM g WHERE group_size > 1
+""",
+        # availableNow streaming dedup == batch DISTINCT over the same
+        # augmented corpus (watermark wider than the event-time spread)
+        "dedup_stream_backfill": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+)
+SELECT DISTINCT md5(text) AS content_hash FROM corpus
 """,
         "dedup_ngram_jaccard": _exact_jaccard_sql(JACCARD_T),
         "dedup_groups": f"""

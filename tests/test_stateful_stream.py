@@ -73,3 +73,37 @@ def test_stateful_resume_from_checkpoint(spark, tmp_path):
     assert 60 in out and not out[60].went_hot
     assert 130 in out
     assert out[130].went_hot  # crossed 100 only after resuming with state 60
+
+
+def test_streaming_dedup_matches_batch_distinct_across_batches(spark, tmp_path):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    base = 1_700_000_000
+    # 40 distinct texts, each duplicated 3x with different doc_ids and
+    # event times, spread over MANY files so duplicates of one text land
+    # in DIFFERENT micro-batches (maxFilesPerTrigger=16) — the dedup
+    # state must carry across batches
+    rows = [
+        (copy * 1000 + i, f"text number {i}", base + i * 60 + copy)
+        for i in range(40)
+        for copy in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tse long").select(
+        "doc_id", "text", F.timestamp_seconds("tse").alias("ts")
+    )
+    src = str(tmp_path / "dedup_src")
+    df.repartition(40).write.parquet(src)
+
+    sdf = streaming_exact_dedup(spark, src, watermark_delay="30 days")
+    run_available_now(
+        sdf, str(tmp_path / "dedup_ck"), "dedup_stream_t", output_mode="append"
+    )
+    got = {r.content_hash for r in spark.sql("select * from dedup_stream_t").collect()}
+    expect = {r.h for r in df.select(F.md5("text").alias("h")).distinct().collect()}
+    assert got == expect
+    assert len(got) == 40  # the 80 duplicate arrivals were dropped
