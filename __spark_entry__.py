@@ -717,6 +717,46 @@ def _q_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_st_pairs_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream spatiotemporal self-join (watermarked event-time range
+    + grid-stencil equi-join) drained with availableNow: must equal the
+    batch spatiotemporal pair set (streaming/st_pair_stream.py contract)."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.events_source import (
+        X_SQL,
+        Y_SQL,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.st_pair_stream import (
+        streaming_spatiotemporal_pairs,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inst = ev.select(
+        F.col("event_type").alias("feature"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("id"),
+        F.expr(X_SQL).alias("x"),
+        F.expr(Y_SQL).alias("y"),
+        F.col("ts"),
+    )
+    grid = compute_bounds(inst, D)
+    tmp = tempfile.mkdtemp(prefix="st_pair_stream_src_")
+    inst.write.mode("overwrite").parquet(tmp)
+    name = f"st_pair_stream_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_spatiotemporal_pairs(spark, tmp, grid, D, ST_TAU_SECONDS)
+    run_available_now(
+        sdf, tempfile.mkdtemp(prefix="st_pair_stream_ck_"), name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_dedup_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact dedup (watermarked dropDuplicates) drained
     with availableNow: the emitted distinct content-hash set must equal
@@ -979,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         "pairs_stream_backfill": _q_pairs_stream_backfill,
         "dedup_stream_backfill": _q_dedup_stream_backfill,
+        "st_pairs_stream_backfill": _q_st_pairs_stream_backfill,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "tile_stream_backfill": _q_tile_stream_backfill,
@@ -1107,7 +1148,7 @@ SELECT doc_id,
   END AS lang_pred
 FROM scores
 """
-    return {
+    out = {
         "instances_derive": f"WITH {_INSTANCES_CTE} SELECT * FROM instances",
         "tile_assign": f"""
 WITH {_INSTANCES_CTE}, {_CELLS_CTE}
@@ -1584,3 +1625,7 @@ FROM cells
 GROUP BY cell_x, cell_y
 """,
     }
+    # the drained stream-stream join must equal the batch spatiotemporal
+    # pair set exactly — same oracle by construction
+    out["st_pairs_stream_backfill"] = out["spatiotemporal_pairs"]
+    return out

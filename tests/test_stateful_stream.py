@@ -107,3 +107,53 @@ def test_streaming_dedup_matches_batch_distinct_across_batches(spark, tmp_path):
     expect = {r.h for r in df.select(F.md5("text").alias("h")).distinct().collect()}
     assert got == expect
     assert len(got) == 40  # the 80 duplicate arrivals were dropped
+
+
+def test_stream_stream_spatiotemporal_matches_batch(spark, tmp_path):
+    import math
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
+        GridSpec,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.st_pair_stream import (
+        streaming_spatiotemporal_pairs,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        (
+            f"F{i % 3}",
+            f"p{i:03d}",
+            float((i * 37) % 40),
+            float((i * 61) % 40),
+            base + (i * 733) % 20_000,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "feature string, id string, x double, y double, tse long"
+    ).select("feature", "id", "x", "y", F.timestamp_seconds("tse").alias("ts"))
+    src = str(tmp_path / "st_src")
+    # many files -> pairs straddle micro-batches; the join state must hold
+    # earlier arrivals until their partners appear in later triggers
+    df.repartition(40).write.parquet(src)
+
+    d, tau = 6.0, 3600
+    grid = GridSpec(0.0, 0.0, 40.0, 40.0, d)
+    sdf = streaming_spatiotemporal_pairs(spark, src, grid, d, tau)
+    run_available_now(sdf, str(tmp_path / "st_ck"), "st_pairs_t", output_mode="append")
+    got = {
+        (r.a_id, r.b_id, r.dt_seconds)
+        for r in spark.sql("select * from st_pairs_t").collect()
+    }
+    expect = set()
+    for fa, ia, xa, ya, ta in rows:
+        for fb, ib, xb, yb, tb in rows:
+            if ia < ib and fa != fb and abs(ta - tb) <= tau:
+                if math.sqrt((xa - xb) ** 2 + (ya - yb) ** 2) <= d:
+                    expect.add((ia, ib, abs(ta - tb)))
+    assert got == expect
+    assert len(expect) >= 30  # non-vacuous: the fixture has real pairs
