@@ -98,3 +98,61 @@ def test_neighbor_pairs_exact_under_random_inputs(pts, d, cell_frac):
         if fa != fb and math.sqrt((xa - xb) ** 2 + (ya - yb) ** 2) <= d:
             expect.add((min(ia, ib), max(ia, ib)))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    radius=st.sampled_from([3.0, 8.0]),
+)
+def test_knn_join_fallback_completeness(pts, k, radius):
+    """With the straggler fallback on, EVERY point must get exactly
+    min(k, n-1) neighbor rows — the global exact top-k — regardless of how
+    sparse the in-radius neighborhood is, for any point layout (clusters,
+    isolated outliers, collinear grids) and either fallback path."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.spatial import (
+        knn_join,
+    )
+
+    spark = _get_spark()
+    rows = [
+        (f"F{i % 2}", f"p{i:02d}", float(x), float(y))
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    out = knn_join(df, k=k, radius=radius).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append((r.dist, r.id, r.rank))
+    want = min(k, len(rows) - 1)
+    assert set(per_q) == {r[1] for r in rows}
+    for qid, hits in per_q.items():
+        assert len(hits) == want, (qid, hits)
+        # ranks contiguous, dist non-decreasing with id tiebreak
+        hits.sort(key=lambda h: h[2])
+        assert [h[2] for h in hits] == list(range(1, want + 1))
+        assert all(
+            hits[i][:2] <= hits[i + 1][:2] for i in range(len(hits) - 1)
+        )
+    # exactness vs brute force
+    import math as _m
+
+    for _, qi, xq, yq in rows:
+        cand = sorted(
+            (_m.sqrt((xq - x) ** 2 + (yq - y) ** 2), j)
+            for _, j, x, y in rows
+            if j != qi
+        )[:want]
+        got = sorted(
+            (d, j) for (d, j, _rk) in per_q[qi]
+        )
+        assert [c[1] for c in cand] == [g[1] for g in got], qi
