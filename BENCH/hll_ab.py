@@ -86,6 +86,11 @@ def main() -> None:
                 env=env,
                 timeout=1800,
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"{mode} leg failed (rc={out.returncode}) — stderr above"
+                )
             run = json.loads(out.stdout.strip().splitlines()[-1])
             print(json.dumps({k: run[k] for k in ("mode", "wall_sec", "pairs")}), flush=True)
             if mode not in best or run["wall_sec"] < best[mode]["wall_sec"]:

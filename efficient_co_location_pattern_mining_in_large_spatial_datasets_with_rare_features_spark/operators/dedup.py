@@ -294,7 +294,20 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 .otherwise(F.lit(0).cast("bigint"))
             )
             sig = bit if sig is None else sig + bit
-    return agg.select("doc_id", sig.alias("simhash"))
+    # a lane is a saturating-free 21-bit counter: a document with >= 2^21
+    # tokens would silently carry into the adjacent lane, so fail loudly
+    # instead of corrupting signatures (one comparison per doc, not token)
+    lane_cap = 1 << lane
+    guarded = F.when(F.col("n") < F.lit(lane_cap), sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash packed-lane overflow: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" has >= {lane_cap} tokens (lane width {lane} bits)"),
+            )
+        ).cast("bigint")
+    )
+    return agg.select("doc_id", guarded.alias("simhash"))
 
 
 def hamming_near_duplicates(

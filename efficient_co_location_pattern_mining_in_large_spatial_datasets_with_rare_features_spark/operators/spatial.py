@@ -15,8 +15,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .cells import compute_bounds, with_cell
+from .cells import GridSpec, compute_bounds, with_cell
 from .pairs import hot_cells_local
+
+
+def _unpersist_ckpt(ck: DataFrame) -> None:
+    """Deterministically release a ``localCheckpoint``'s storage blocks.
+
+    The checkpointed DataFrame's analyzed plan is a ``LogicalRDD`` holding
+    the persisted RDD; without this, the blocks pin executor storage until
+    some future ContextCleaner GC (nondeterministic in a long-lived
+    session).  Only call on frames provably NOT referenced by any plan
+    that may still execute — reading after unpersist raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    try:
+        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort on plan-shape changes
+        pass
 
 
 def point_in_polygon(
@@ -239,6 +254,7 @@ def knn_join(
     )
     n_strag = strag.count()
     if n_strag == 0:
+        _unpersist_ckpt(strag)  # dead: nothing references it on this path
         return ranked
     keep = ranked.join(strag, "qid", "left_anti")
     spts = strag.join(
@@ -295,6 +311,7 @@ def _widen_candidates(
     corpus = instances.select("id", "x", "y")
     left = spts.select(F.col("qid").alias("id"), "x", "y")
     remaining = spts.select("qid")
+    remaining_is_ckpt = False
     parts: list[DataFrame] = []
     r = radius
     while True:
@@ -324,9 +341,18 @@ def _widen_candidates(
             .select("qid")
         )
         parts.append(cand.join(done, "qid", "left_semi"))
-        remaining = remaining.join(done, "qid", "left_anti").localCheckpoint()
+        nxt = remaining.join(done, "qid", "left_anti").localCheckpoint()
+        # nxt is eagerly materialized and the cand leaves are checkpoints,
+        # so the previous round's remaining-blocks are dead right here
+        if remaining_is_ckpt:
+            _unpersist_ckpt(remaining)
+        remaining, remaining_is_ckpt = nxt, True
         if remaining.isEmpty():
             break
+    # the output plan references only the (checkpointed) cand leaves —
+    # the last remaining-checkpoint is dead once the loop exits
+    if remaining_is_ckpt:
+        _unpersist_ckpt(remaining)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -375,7 +401,26 @@ def distance_join(
         raise ValueError(f"cell_size must be in (0, d], got {cell_size} for d={d}")
     lpts = left.select("id", "x", "y")
     rpts = right.select("id", "x", "y")
-    grid = compute_bounds(lpts.unionByName(rpts), cell_size)
+    # one pass for bounds AND per-side counts (the counts gate the dual-hot
+    # pre-scan below; fusing them here makes the gate metadata-cheap)
+    tagged = lpts.withColumn("_l", F.lit(1)).unionByName(
+        rpts.withColumn("_l", F.lit(0))
+    )
+    b = tagged.agg(
+        F.min("x").alias("min_x"),
+        F.min("y").alias("min_y"),
+        F.max("x").alias("max_x"),
+        F.max("y").alias("max_y"),
+        F.sum("_l").alias("nl"),
+        F.count("*").alias("nt"),
+    ).collect()[0]
+    if b["min_x"] is None:
+        grid = GridSpec(0.0, 0.0, 0.0, 0.0, cell_size)
+        n_left, n_right = 0, 0
+    else:
+        grid = GridSpec(b["min_x"], b["min_y"], b["max_x"], b["max_y"], cell_size)
+        n_left = int(b["nl"] or 0)
+        n_right = int(b["nt"]) - n_left
 
     parallelism = left.sparkSession.sparkContext.defaultParallelism
     if lpts.rdd.getNumPartitions() < parallelism:
@@ -384,7 +429,10 @@ def distance_join(
         rpts = rpts.repartition(parallelism)
 
     hot_cells: DataFrame | None = None
-    if salt_threshold is not None:
+    # a dual-hot cell needs > salt_threshold rows on BOTH sides, which is
+    # impossible unless both inputs exceed the threshold outright — skip
+    # the two occupancy aggregations entirely for the common small case
+    if salt_threshold is not None and min(n_left, n_right) > salt_threshold:
         locc = (
             with_cell(lpts, grid)
             .groupBy("cell_x", "cell_y")

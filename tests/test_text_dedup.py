@@ -1,6 +1,7 @@
 """Text functions + dedup operators: hand-checkable unit cases (the
 Spark-vs-DuckDB equivalence is covered by test_entry_contract)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions import (
@@ -98,6 +99,19 @@ def test_simhash_identical_docs_distance_zero(spark):
     out = {(r.a_id, r.b_id): r.hamming for r in dedup.simhash_duplicates(df, hamming_max=3).collect()}
     assert out.get((1, 2)) == 0
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_lane_overflow_raises(spark, monkeypatch):
+    # a doc with >= 2^lane tokens would silently carry into the adjacent
+    # packed lane; the guard must raise instead.  Shrink the lane to 2 bits
+    # so 4 tokens already overflow (full-width would need 2M tokens).
+    monkeypatch.setattr(dedup, "_SIMHASH_LANE", 2)
+    df = _docs(spark, [(1, "t1 t2 t3 t4 t5")])
+    with pytest.raises(Exception, match="packed-lane overflow"):
+        dedup.simhash(df).collect()
+    # under the cap (3 tokens < 4) the guard stays silent
+    ok = _docs(spark, [(2, "t1 t2 t3")])
+    assert dedup.simhash(ok).count() == 1
 
 
 def test_cosine_topk_exact(spark):
