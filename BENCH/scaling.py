@@ -73,7 +73,9 @@ def run_one(cpus: int) -> dict:
         # thread pools for all 32 machine cores, giving the small-N leg
         # free parallelism and deflating measured scaling efficiency
         extra_conf={
-            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}",
+            # probe hook (probe_8_32.py): shuffle-path config experiments
+            **json.loads(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "{}")),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

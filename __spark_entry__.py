@@ -503,6 +503,65 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus bucketed by max-dot coarse centroid, queries
+    probe their n_probe closest cells.  The oracle mirrors the exact
+    construction (deterministic first-C-by-id codebook, integer dots,
+    lowest-index tie-breaks), so this approximate operator is still
+    hash-checkable end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivf_topk(
+        emb, ANN_QUERIES, k=ANN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "dot"
+    )
+
+
+def _ann_ivf_oracle_sql() -> str:
+    qlist = ", ".join(map(str, ANN_QUERIES))
+    return f"""
+WITH {_QEMB_CTE},
+cent AS (
+  SELECT q AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM (SELECT vec_id, q FROM qemb ORDER BY vec_id LIMIT {IVF_CENTROIDS})
+),
+cellranks AS (
+  SELECT e.vec_id, c.cidx,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY CAST(list_dot_product(e.q, c.cv) AS BIGINT) DESC, c.cidx ASC
+         ) AS rn
+  FROM qemb e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cidx AS cell FROM cellranks WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cidx AS cell
+  FROM cellranks WHERE rn <= {IVF_PROBE} AND vec_id IN ({qlist})
+),
+scored AS (
+  SELECT qc.query_id, ce.vec_id AS neighbor_id,
+         CAST(list_dot_product(q1.q, e2.q) AS BIGINT) AS dot
+  FROM qcells qc
+  JOIN cells ce ON ce.cell = qc.cell
+  JOIN qemb q1 ON q1.vec_id = qc.query_id
+  JOIN qemb e2 ON e2.vec_id = ce.vec_id
+  WHERE qc.query_id <> ce.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _emb_dupes_corpus(emb: DataFrame) -> DataFrame:
     """Embeddings plus near-duplicate probes: every 50th vector gets a
     shifted copy (id + 1e6) at ``v + b`` with ``b`` stepping 0.03..0.075 —
@@ -1090,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dupes": _q_emb_dupes,
         "cell_id_assign": _q_cell_id,
         "point_in_polygon": _q_point_in_polygon,
@@ -1454,6 +1514,7 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
 """,
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "point_in_polygon": f"""
 WITH {_INSTANCES_CTE},
 pts AS (

@@ -160,6 +160,13 @@ def main() -> None:
     approx_set = {(r.query_id, r.neighbor_id) for r in approx_topk}
     ann_recall = round(len(exact_set & approx_set) / max(len(exact_set), 1), 3)
     print(f"[bench] ann_lsh_topk recall vs exact: {ann_recall}", file=sys.stderr)
+    ivf_topk = timed(
+        "ann_ivf_topk",
+        lambda: similarity.ivf_topk(emb, list(range(8)), k=5).collect(),
+    )
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf_topk}
+    ivf_recall = round(len(exact_set & ivf_set) / max(len(exact_set), 1), 3)
+    print(f"[bench] ann_ivf_topk recall vs exact: {ivf_recall}", file=sys.stderr)
     timed(
         "embedding_dupes_lsh",
         lambda: similarity.embedding_duplicates(
@@ -224,6 +231,7 @@ def main() -> None:
                 "patterns": len(res.patterns),
                 "throughput_rows_per_sec": round(n_instances / flagship, 1),
                 "ann_lsh_recall": ann_recall,
+                "ann_ivf_recall": ivf_recall,
                 "d": BENCH_D,
                 "min_prev": BENCH_MIN_PREV,
                 # north-rule evidence: measured separately by BENCH/scaling.py

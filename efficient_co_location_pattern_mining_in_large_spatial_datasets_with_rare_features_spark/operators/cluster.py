@@ -51,12 +51,13 @@ _MAX_ROUNDS = 64
 #: contracted graphs at or below this edge count finish on the driver with
 #: linear-time union-find — the same driver-finish discipline as the miner's
 #: candidate bookkeeping: a bounded remainder beats a tail of tiny serial
-#: distributed rounds.  Node ids are xxhash64-int-encoded before
-#: contraction (see _contract_components), so 1M edges is ~2x 8-byte
-#: longs per tuple — the same driver-memory envelope the previous 500k
-#: bound had with string ids, and measurably faster (sf0.1 dbscan -13%:
-#: the 563k-edge ε-graph now skips its one distributed round).
-_DRIVER_FINISH_EDGES = 1_000_000
+#: distributed rounds.  Round 3 raised this to 1M claiming -13% on the
+#: sf0.1 ε-graph, but the within-session per-leg-JVM A/B
+#: (BENCH/dbscan_ab.py, best-of-2: 500k 9.51 s vs 1M 9.74 s) shows the
+#: raise does NOT reproduce — pushing 563k edges through toLocalIterator
+#: into single-threaded Python union-find costs what the skipped
+#: distributed round saved.  500k keeps the smaller driver envelope.
+_DRIVER_FINISH_EDGES = 500_000
 
 
 def _cut(df: DataFrame) -> DataFrame:

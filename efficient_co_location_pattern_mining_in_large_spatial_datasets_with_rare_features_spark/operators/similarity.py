@@ -195,6 +195,104 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF-style coarse quantizer: the corpus is
+    partitioned into ``n_centroids`` cells (each vector assigned to its
+    max-dot centroid), and each query scores only the vectors in its
+    ``n_probe`` closest cells — the inverted-file pattern that keeps
+    per-query work at ~``n_probe/n_centroids`` of a full scan.
+
+    Centroids are the ``n_centroids`` corpus vectors with the smallest
+    ids — a deterministic stand-in for an offline-trained k-means codebook
+    (at deployment scale the codebook is trained on a sample and
+    broadcast; the distributed plumbing — broadcast codebook, map-side
+    assignment, cell equi-join — is identical).  Assignment and probing
+    use the same quantized integer dot as ``cosine_topk`` (argmax ties
+    break to the lowest centroid index), so every step is reproducible
+    bitwise by an ANSI-SQL oracle.  Assignment is a pure codegen
+    expression — ``n_centroids * dim`` integer multiply-adds per row, no
+    Python, no shuffle; for codebooks too large to inline as literals,
+    use a ``band_signatures``-style one-matmul-per-Arrow-batch pandas UDF
+    instead.
+
+    Each corpus vector lives in exactly ONE cell, so multi-probe never
+    duplicates a candidate — no dedup pass.  Same output shape as
+    ``cosine_topk`` minus the cosine column: (query_id, neighbor_id,
+    rank, dot).  Recall < 1 by design (a true neighbor may sit in an
+    unprobed cell); bench.py measures realized recall vs cosine_topk.
+    """
+    if n_probe > n_centroids:
+        raise ValueError(f"n_probe {n_probe} > n_centroids {n_centroids}")
+    cent_rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("cv")
+        )
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r["cv"]) for r in cent_rows]
+
+    def cdot(v: F.Column, c: int) -> F.Column:
+        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in cents[c]])
+        return _dot(v, lit)
+
+    # struct(dot, -idx): array_max / sort_array(desc) order by dot desc
+    # then centroid index ASC — the lowest index wins ties on both ops
+    def scored_cells(v: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(cdot(v, c).alias("d"), F.lit(-c).alias("ni"))
+                for c in range(len(cents))
+            ]
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", -F.array_max(scored_cells(F.col("cv")))["ni"])
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(scored_cells(F.col("qv")), asc=False),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: -s["ni"],
+                )
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def band_signatures(dim: int, r: int = 12, b: int = 64):
     """Vectorized banded hyperplane signatures: ``array<float> ->
     array<bigint>`` of length ``b`` (one packed r-bit signature per band).

@@ -136,6 +136,33 @@ def test_lsh_topk_subset_of_exact(spark):
             assert dots[(r.query_id, r.neighbor_id)] == r.dot
 
 
+def test_ivf_topk_full_probe_equals_exact(spark):
+    # probing every cell makes the candidate set the whole corpus, so the
+    # IVF result must equal the exact brute-force top-k (same tie-breaks)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5).collect()
+    ivf = similarity.ivf_topk(
+        emb, [0, 1, 2], k=5, n_centroids=8, n_probe=8
+    ).collect()
+    want = {(r.query_id, r.neighbor_id, r.rank, r.dot) for r in exact}
+    got = {(r.query_id, r.neighbor_id, r.rank, r.dot) for r in ivf}
+    assert got == want
+
+
+def test_ivf_topk_partial_probe_hits_carry_exact_dots(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id): r.dot
+        for r in similarity.cosine_topk(emb, [0, 1], k=5).collect()
+    }
+    approx = similarity.ivf_topk(emb, [0, 1], k=5, n_centroids=16, n_probe=4)
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == r.dot
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb, [0], n_centroids=4, n_probe=5)
+
+
 def test_embedding_duplicates_blocked_is_subset(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {(r.a_id, r.b_id) for r in similarity.embedding_duplicates(emb, threshold=0.8, blocked=False).collect()}
