@@ -530,13 +530,23 @@ cent AS (
   SELECT q AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
   FROM (SELECT vec_id, q FROM qemb ORDER BY vec_id LIMIT {IVF_CENTROIDS})
 ),
+qemb_b AS (
+  -- assignment-side quantization mirrors numpy's half-to-even rounding
+  -- (the engine ranks centroids in a vectorized numpy UDF, exactly like
+  -- lsh signatures); candidate scoring below still uses qemb's HALF_UP
+  -- ints shared with cosine_topk
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> roundbankers(CAST(v AS DOUBLE) * 10000, 0)) AS qb
+  FROM embeddings
+),
 cellranks AS (
   SELECT e.vec_id, c.cidx,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY CAST(list_dot_product(e.q, c.cv) AS BIGINT) DESC, c.cidx ASC
+           ORDER BY CAST(list_dot_product(e.qb, c.cv) AS BIGINT) DESC, c.cidx ASC
          ) AS rn
-  FROM qemb e CROSS JOIN cent c
+  FROM qemb_b e CROSS JOIN cent c
 ),
 cells AS (SELECT vec_id, cidx AS cell FROM cellranks WHERE rn = 1),
 qcells AS (

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
+from ._ckpt import unpersist_ckpt
 from .pairs import neighbor_pairs
 
 _MAX_ROUNDS = 64
@@ -60,7 +61,9 @@ _MAX_ROUNDS = 64
 _DRIVER_FINISH_EDGES = 500_000
 
 
-def _cut(df: DataFrame) -> DataFrame:
+def _cut(
+    df: DataFrame, graveyard: list[tuple[DataFrame, DataFrame]] | None = None
+) -> DataFrame:
     """Materialize ``df`` and rebuild it as a fresh leaf scan.
 
     ``localCheckpoint`` truncates the RDD lineage but *carries the origin
@@ -71,13 +74,17 @@ def _cut(df: DataFrame) -> DataFrame:
     BigInteger.multiplyToomCook3 to plan a 37-edge join).  Re-wrapping the
     checkpointed RDD as a bare scan resets the estimate to the default;
     AQE's runtime re-planning still uses the REAL materialized sizes, so
-    broadcast-vs-shuffle decisions are unaffected."""
+    broadcast-vs-shuffle decisions are unaffected.
+
+    ``graveyard`` (optional) records ``(wrapped, ck)`` so the caller can
+    eagerly release dead generations with ``_free_except`` instead of
+    waiting for nondeterministic ContextCleaner GC."""
     ck = df.localCheckpoint()
     try:
         jdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
             ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
         )
-        return DataFrame(jdf, df.sparkSession)
+        wrapped = DataFrame(jdf, df.sparkSession)
     except Exception as e:  # private API moved: degrade to the plain checkpoint
         # visible degradation: plain localCheckpoint reinstates the
         # compounding sizeInBytes estimate this function exists to avoid
@@ -87,7 +94,26 @@ def _cut(df: DataFrame) -> DataFrame:
             "iterative planning may slow down on deep contractions",
             stacklevel=2,
         )
-        return ck
+        wrapped = ck
+    if graveyard is not None:
+        graveyard.append((wrapped, ck))
+    return wrapped
+
+
+def _free_except(
+    graveyard: list[tuple[DataFrame, DataFrame]], keep: tuple[DataFrame, ...]
+) -> None:
+    """Release every graveyard checkpoint whose wrapped frame is not in
+    ``keep``.  Safe only when every non-kept frame is provably dead (its
+    data consumed into newer eager checkpoints / driver state)."""
+    keep_ids = {id(k) for k in keep}
+    still: list[tuple[DataFrame, DataFrame]] = []
+    for wrapped, ck in graveyard:
+        if id(wrapped) in keep_ids:
+            still.append((wrapped, ck))
+        else:
+            unpersist_ckpt(ck)
+    graveyard[:] = still
 
 
 def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -133,7 +159,9 @@ def _driver_finish(cur: DataFrame, mapping: DataFrame) -> DataFrame:
 
 
 def _contract_components(
-    edges: DataFrame, driver_finish_edges: int = _DRIVER_FINISH_EDGES
+    edges: DataFrame,
+    driver_finish_edges: int = _DRIVER_FINISH_EDGES,
+    graveyard: list[tuple[DataFrame, DataFrame]] | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as canonical
     (u, v) edges (u < v).  Returns (node, label) for every node that
@@ -150,13 +178,18 @@ def _contract_components(
     # Cut the edges FIRST: nodes/mapping then derive from the materialized
     # scan instead of re-running the (possibly expensive) upstream pipeline
     # a second time.
-    cur = _cut(edges)
+    # local working list; `graveyard` is export-only (see _contract_raw):
+    # checkpoints still live at return — the result plan's leaves — are
+    # appended so the caller can free them after materializing the result
+    grave: list[tuple[DataFrame, DataFrame]] = []
+    cur = _cut(edges, grave)
     if not isinstance(cur.schema["u"].dataType, NumericType):
         nodes = _cut(
             cur.select(F.col("u").alias("node"))
             .unionByName(cur.select(F.col("v").alias("node")))
             .distinct()
-            .select("node", F.xxhash64("node").alias("h"))
+            .select("node", F.xxhash64("node").alias("h")),
+            grave,
         )
         stats = nodes.agg(
             F.count("*").alias("n"), F.countDistinct("h").alias("nh")
@@ -170,7 +203,18 @@ def _contract_components(
                     F.greatest("hu", "hv").alias("v"),
                 )
             )
-            comp = _contract_raw(_cut(int_edges), driver_finish_edges)
+            exported: list[tuple[DataFrame, DataFrame]] = []
+            comp = _contract_raw(
+                _cut(int_edges, grave), driver_finish_edges, graveyard=exported
+            )
+            # comp's plan references only _contract_raw's still-live
+            # checkpoints (in `exported`, never freed here); the edge cut
+            # and int-edge cut in the LOCAL grave are fully consumed —
+            # keep nodes, which the returned (lazy) decode join still reads
+            _free_except(grave, (nodes,))
+            if graveyard is not None:
+                graveyard.extend(grave)
+                graveyard.extend(exported)
             m = comp.select(F.col("node").alias("h"), F.col("label").alias("comp")).join(
                 nodes, "h"
             ).select("node", "comp")
@@ -180,11 +224,19 @@ def _contract_components(
             "xxhash64 node encoding collided; contracting on raw ids",
             stacklevel=2,
         )
-    return _contract_raw(cur, driver_finish_edges)
+    exported = []
+    out = _contract_raw(cur, driver_finish_edges, graveyard=exported)
+    _free_except(grave, ())
+    if graveyard is not None:
+        graveyard.extend(grave)
+        graveyard.extend(exported)
+    return out
 
 
 def _contract_raw(
-    cur: DataFrame, driver_finish_edges: int = _DRIVER_FINISH_EDGES
+    cur: DataFrame,
+    driver_finish_edges: int = _DRIVER_FINISH_EDGES,
+    graveyard: list[tuple[DataFrame, DataFrame]] | None = None,
 ) -> DataFrame:
     """Contraction core over already-materialized canonical (u, v) edges.
 
@@ -200,20 +252,37 @@ def _contract_raw(
         .unionByName(cur.select(F.col("v").alias("node")))
         .distinct()
     )
-    mapping = _cut(nodes.select("node", F.col("node").alias("label")))
+    # every per-round checkpoint is recorded here; once a round's new
+    # cur/mapping are (eagerly) materialized, all older checkpoints are
+    # dead and their blocks are released immediately — without this a
+    # deep contraction pins one generation of blocks per round until
+    # some future ContextCleaner GC.  The working list is ALWAYS local
+    # (sharing the caller's would let inner frees kill caller-owned
+    # checkpoints); `graveyard` is export-only — checkpoints still live
+    # at return (the result plan's leaves) are appended so the caller can
+    # free them once it has materialized the result.
+    grave: list[tuple[DataFrame, DataFrame]] = []
+    mapping = _cut(nodes.select("node", F.col("node").alias("label")), grave)
     for _ in range(_MAX_ROUNDS):
         n_edges = cur.count()
         if n_edges == 0:
             break
         if n_edges <= driver_finish_edges:
-            return _driver_finish(cur, mapping)
+            # _driver_finish drains cur eagerly (toLocalIterator); the
+            # returned plan references only mapping's checkpoint
+            out = _driver_finish(cur, mapping)
+            _free_except(grave, (mapping,))
+            if graveyard is not None:
+                graveyard.extend(grave)
+            return out
         adj = cur.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
             cur.select(F.col("v").alias("s"), F.col("u").alias("t"))
         )
         star = _cut(
             adj.groupBy("s")
             .agg(F.min("t").alias("m"))
-            .select("s", F.least("s", "m").alias("lab"))
+            .select("s", F.least("s", "m").alias("lab")),
+            grave,
         )
         for _ in range(_MAX_ROUNDS):
             # Two pointer jumps fused into one materialization (4x depth per
@@ -226,9 +295,13 @@ def _contract_raw(
                 .join(ptr, F.col("old") == F.col("_k"))
                 .select("s", "old", F.col("_v").alias("mid"))
                 .join(ptr, F.col("mid") == F.col("_k"))
-                .select("s", "old", F.col("_v").alias("new"))
+                .select("s", "old", F.col("_v").alias("new")),
+                grave,
             )
             star = hop.select("s", F.col("new").alias("lab"))
+            # hop is eager, so its predecessors (and the pre-loop star) are
+            # consumed; keep only what later steps still read
+            _free_except(grave, (cur, mapping, hop))
             if hop.filter(F.col("new") != F.col("old")).isEmpty():
                 break
         else:
@@ -247,13 +320,18 @@ def _contract_raw(
                 star.select(F.col("s").alias("label"), F.col("lab").alias("_new")),
                 "label",
                 "left",
-            ).select("node", F.coalesce("_new", "label").alias("label"))
+            ).select("node", F.coalesce("_new", "label").alias("label")),
+            grave,
         )
-        cur = _cut(relab)
+        cur = _cut(relab, grave)
+        _free_except(grave, (cur, mapping))
     else:
         raise RuntimeError(
             f"component contraction did not converge in {_MAX_ROUNDS} rounds"
         )
+    _free_except(grave, (mapping,))
+    if graveyard is not None:
+        graveyard.extend(grave)
     return mapping
 
 
@@ -298,7 +376,8 @@ def dbscan(
         .join(cores.withColumnRenamed("id", "b_id"), "b_id", "left_semi")
         .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     )
-    comp = _contract_components(core_edges, driver_finish_edges)
+    grave: list[tuple[DataFrame, DataFrame]] = []
+    comp = _contract_components(core_edges, driver_finish_edges, graveyard=grave)
     core_clusters = cores.join(
         comp.withColumnRenamed("node", "id"), "id", "left"
     ).select(
@@ -324,6 +403,10 @@ def dbscan(
     labeled = core_clusters.unionByName(border).localCheckpoint()
     pairs.unpersist()
     cores.unpersist()
+    # labeled is eager, so the contraction's surviving checkpoints
+    # (mapping / node-decode tables) are fully consumed — release them
+    # now instead of at some future ContextCleaner GC
+    _free_except(grave, ())
     return instances.select("id").join(labeled, "id", "left").select(
         "id",
         "cluster",

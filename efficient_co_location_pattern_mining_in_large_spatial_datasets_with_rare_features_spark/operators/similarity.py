@@ -214,14 +214,16 @@ def ivf_topk(
     ids — a deterministic stand-in for an offline-trained k-means codebook
     (at deployment scale the codebook is trained on a sample and
     broadcast; the distributed plumbing — broadcast codebook, map-side
-    assignment, cell equi-join — is identical).  Assignment and probing
-    use the same quantized integer dot as ``cosine_topk`` (argmax ties
-    break to the lowest centroid index), so every step is reproducible
-    bitwise by an ANSI-SQL oracle.  Assignment is a pure codegen
-    expression — ``n_centroids * dim`` integer multiply-adds per row, no
-    Python, no shuffle; for codebooks too large to inline as literals,
-    use a ``band_signatures``-style one-matmul-per-Arrow-batch pandas UDF
-    instead.
+    assignment, cell equi-join — is identical).  Assignment ranks
+    centroids by dot product in ONE numpy matmul per Arrow batch (the
+    ``band_signatures`` discipline: a per-centroid ``aggregate(zip_with)``
+    expression tree is interpreted with no CSE and measured ~10x slower);
+    ties break to the lowest centroid index via stable argsort.  The
+    assignment-side quantization is numpy's half-to-even (mirrored by SQL
+    oracles with ``roundbankers``, exactly as ``lsh_topk`` signatures
+    are); candidate SCORING uses the engine-wide HALF_UP ``quantize``
+    shared with ``cosine_topk``, so reported dots are identical across
+    the exact/LSH/IVF paths.
 
     Each corpus vector lives in exactly ONE cell, so multi-probe never
     duplicates a candidate — no dedup pass.  Same output shape as
@@ -239,40 +241,30 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
-    cents = [list(r["cv"]) for r in cent_rows]
+    cents = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
 
-    def cdot(v: F.Column, c: int) -> F.Column:
-        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in cents[c]])
-        return _dot(v, lit)
-
-    # struct(dot, -idx): array_max / sort_array(desc) order by dot desc
-    # then centroid index ASC — the lowest index wins ties on both ops
-    def scored_cells(v: F.Column) -> F.Column:
-        return F.array(
-            *[
-                F.struct(cdot(v, c).alias("d"), F.lit(-c).alias("ni"))
-                for c in range(len(cents))
-            ]
-        )
+    @pandas_udf("array<int>")
+    def _ranked_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim) float
+        qm = np.round(m.astype(np.float64) * QUANT)  # half-to-even
+        dots = qm @ cents.T  # (n, C)
+        # stable argsort of -dots: equal dots keep ascending centroid index
+        order = np.argsort(-dots, axis=1, kind="stable")
+        return pd.Series(list(order.astype(np.int32)))
 
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", -F.array_max(scored_cells(F.col("cv")))["ni"])
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("cv"),
+        F.element_at(_ranked_cells(F.col(vec_col)), 1).alias("cell"),
+    )
     q = (
         embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
-        .withColumn(
-            "cell",
+        .select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("qv"),
             F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(scored_cells(F.col("qv")), asc=False),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: -s["ni"],
-                )
-            ),
+                F.slice(_ranked_cells(F.col(vec_col)), 1, n_probe)
+            ).alias("cell"),
         )
     )
     scored = (

@@ -15,23 +15,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._ckpt import unpersist_ckpt as _unpersist_ckpt
 from .cells import GridSpec, compute_bounds, with_cell
 from .pairs import hot_cells_local
-
-
-def _unpersist_ckpt(ck: DataFrame) -> None:
-    """Deterministically release a ``localCheckpoint``'s storage blocks.
-
-    The checkpointed DataFrame's analyzed plan is a ``LogicalRDD`` holding
-    the persisted RDD; without this, the blocks pin executor storage until
-    some future ContextCleaner GC (nondeterministic in a long-lived
-    session).  Only call on frames provably NOT referenced by any plan
-    that may still execute — reading after unpersist raises
-    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
-    try:
-        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — best-effort on plan-shape changes
-        pass
 
 
 def point_in_polygon(

@@ -117,3 +117,21 @@ def test_dbscan_empty_and_single(spark):
     )
     out = dbscan(one, 1.0, 2).collect()
     assert [(r.id, r.cluster, r.role) for r in out] == [("only", None, "noise")]
+
+
+def test_dbscan_releases_contraction_checkpoints(spark):
+    # the per-round contraction checkpoints must be freed eagerly (not at
+    # some future ContextCleaner GC): after a fully-distributed dbscan
+    # (driver_finish_edges=0 forces real contraction rounds) only the
+    # result-backing `labeled` checkpoint may remain pinned
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    rows = [("A", f"p{i:03d}", float(i % 25), float(i // 25)) for i in range(100)]
+    df = spark.createDataFrame(rows, "feature string, id string, x double, y double")
+    before = n_persistent()
+    out = dbscan(df, 1.2, 3, driver_finish_edges=0)
+    got = out.count()
+    assert got == 100
+    # tolerance 1: the eager `labeled` checkpoint backing the returned plan
+    assert n_persistent() - before <= 1
