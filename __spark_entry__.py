@@ -503,6 +503,38 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SECONDS = 1800
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min silence splits
+    a user's session) — the standard event-pipeline rollup, two window
+    passes + one aggregation, all codegen expressions."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.sessions import (
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
+
+
+def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5-prefix hash
+    bucket of the doc id — reproducible across engines and invariant to
+    the presence of other rows (functions/sampling.py)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        hash_bucket,
+        split_assign,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        split_assign(F.col("doc_id")).alias("split"),
+        hash_bucket(F.col("doc_id")).cast("long").alias("bucket"),
+    )
+
+
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 
@@ -1165,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": _q_point_in_polygon,
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "docs_split": _q_docs_split,
         "spatial_knn_join": _q_knn_join,
         "distance_join": _q_distance_join,
         "zonal_stats": _q_zonal_stats,
@@ -1525,6 +1559,46 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
 """,
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "events_sessionize": f"""
+WITH base AS (
+  SELECT user_id, event_id AS eid, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse
+  FROM events
+),
+flagged AS (
+  SELECT user_id, eid, tse,
+         CASE WHEN LAG(tse) OVER w IS NULL
+                   OR tse - LAG(tse) OVER w > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, eid)
+),
+numbered AS (
+  SELECT user_id, tse,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY tse, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(tse) AS start_tse, MAX(tse) AS end_tse,
+       MAX(tse) - MIN(tse) AS duration_sec
+FROM numbered GROUP BY user_id, session_id
+""",
+        "docs_split": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(bucket AS BIGINT) AS bucket
+FROM b
+""",
         "point_in_polygon": f"""
 WITH {_INSTANCES_CTE},
 pts AS (

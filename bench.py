@@ -175,6 +175,10 @@ def main() -> None:
     )
     timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
     timed("events_hourly", lambda: entrymod._q_events_hourly(spark, sf_dir).count())
+    timed(
+        "events_sessionize",
+        lambda: entrymod._q_events_sessionize(spark, sf_dir).count(),
+    )
 
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cluster import (
         dbscan,

@@ -1,0 +1,54 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100 TB corpus needs train/val/test splits that are (a) reproducible
+across reruns and engines, (b) computable row-locally with no shuffle,
+and (c) stable under re-partitioning — which rules out ``rand()`` and
+Spark's ``sample``.  The standard answer is a content-keyed hash bucket:
+``bucket = H(key) mod N`` decided per row by a pure expression.
+
+The hash is the md5-prefix integer also used by simhash's token hash
+(operators/dedup.py::token_hash60) rather than ``xxhash64``, because
+every SQL engine reproduces md5 bit-for-bit — the split assignment can
+therefore be verified by a DuckDB oracle and recomputed by any
+downstream consumer without Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): md5-prefix integer mod N.
+
+    The 60-bit prefix keeps the value positive and exactly representable,
+    so ``%`` agrees across engines with no sign-semantics traps.
+    """
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return (h % F.lit(buckets)).cast("int")
+
+
+def split_assign(
+    key: Column,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> Column:
+    """'train' / 'val' / 'test' label from the key's hash bucket.
+
+    Boundaries are bucket counts out of ``buckets`` (defaults 80/10/10).
+    Membership is a pure function of the key: adding or removing OTHER
+    rows never moves a row between splits (the property random sampling
+    lacks and dataset curation needs).
+    """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= buckets):
+        raise ValueError(
+            f"invalid split: train={train_pct} val={val_pct} buckets={buckets}"
+        )
+    b = hash_bucket(key, buckets)
+    return (
+        F.when(b < F.lit(train_pct), F.lit("train"))
+        .when(b < F.lit(train_pct + val_pct), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

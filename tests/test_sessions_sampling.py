@@ -1,0 +1,71 @@
+"""Sessionization + deterministic split assignment: hand-checkable cases
+(the Spark-vs-DuckDB equivalence is covered by test_entry_contract)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+    hash_bucket,
+    split_assign,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.sessions import (
+    sessionize,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)) for u, e, s in rows],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+
+
+def test_sessionize_gap_splits_sessions(spark):
+    # user 1: events at 0s, 100s (same session), then 3000s (> 1800 gap)
+    # user 2: single event
+    df = _ev(spark, [(1, 10, 0), (1, 11, 100), (1, 12, 3000), (2, 20, 50)])
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out == {(1, 1): (2, 100), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_sessionize_boundary_gap_keeps_session(spark):
+    # a gap of EXACTLY gap_seconds does not split (> is strict)
+    df = _ev(spark, [(1, 1, 0), (1, 2, 1800)])
+    out = sessionize(df, gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_sessionize_same_ts_tiebreak_deterministic(spark):
+    # two events at the identical timestamp stay in one session and the
+    # numbering is stable regardless of input order
+    a = sessionize(_ev(spark, [(1, 5, 0), (1, 6, 0)])).collect()
+    b = sessionize(_ev(spark, [(1, 6, 0), (1, 5, 0)])).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0].n_events == 2
+
+
+def test_split_assign_partition_and_determinism(spark):
+    df = spark.range(10_000).select(
+        F.col("id"),
+        split_assign(F.col("id")).alias("split"),
+        hash_bucket(F.col("id")).alias("bucket"),
+    )
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # buckets are ~uniform: 80/10/10 within a loose tolerance
+    assert 0.75 <= counts["train"] / 10_000 <= 0.85
+    assert 0.07 <= counts["val"] / 10_000 <= 0.13
+    # membership is a pure function of the key: a filtered re-run agrees
+    sub = spark.range(100).select(F.col("id"), split_assign(F.col("id")).alias("split"))
+    full = {r.id: r["split"] for r in df.filter(F.col("id") < 100).collect()}
+    assert {r.id: r["split"] for r in sub.collect()} == full
+
+
+def test_split_assign_validation(spark):
+    with pytest.raises(ValueError):
+        split_assign(F.lit(1), train_pct=95, val_pct=10)
