@@ -984,6 +984,37 @@ def _q_dedup_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_sessions_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming sessionization drained with
+    availableNow over the static events table: one row per (user,
+    session), checked against a windowed SQL pass in integer epoch-micros
+    (session_window merges inclusively — an event exactly at session end
+    extends it, the same delta <= gap rule as the batch operator; pinned
+    by the boundary unit test)."""
+    import tempfile
+    import uuid
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.session_stream import (
+        streaming_sessionize,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="session_stream_src_")
+    ev.write.mode("overwrite").parquet(tmp)
+    name = f"session_stream_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_sessionize(spark, tmp, gap_seconds=SESSION_GAP_SECONDS)
+    run_available_now(
+        sdf, tempfile.mkdtemp(prefix="session_stream_ck_"), name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
 PYRAMID_LEVELS = 4
 
 
@@ -1198,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn": _q_spatial_knn,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "sessions_stream_backfill": _q_sessions_stream_backfill,
         "docs_split": _q_docs_split,
         "spatial_knn_join": _q_knn_join,
         "distance_join": _q_distance_join,
@@ -1583,6 +1615,35 @@ numbered AS (
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(tse) AS start_tse, MAX(tse) AS end_tse,
        MAX(tse) - MIN(tse) AS duration_sec
+FROM numbered GROUP BY user_id, session_id
+""",
+        "sessions_stream_backfill": f"""
+WITH base AS (
+  SELECT user_id, event_id AS eid, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  -- session_window merges INCLUSIVELY (an event exactly at session end
+  -- extends the session — pinned by the boundary unit test), so the
+  -- split rule is strict >, same as the batch operator's
+  SELECT user_id, eid, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)
+),
+numbered AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS start_us,
+       MAX(us) + {SESSION_GAP_SECONDS * 1_000_000} AS end_us,
+       COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_id
 """,
         "docs_split": """

@@ -157,3 +157,46 @@ def test_stream_stream_spatiotemporal_matches_batch(spark, tmp_path):
                     expect.add((ia, ib, abs(ta - tb)))
     assert got == expect
     assert len(expect) >= 30  # non-vacuous: the fixture has real pairs
+
+
+def test_streaming_sessionize_boundary_and_merge(spark, tmp_path):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.session_stream import (
+        streaming_sessionize,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.streaming.tile_stream import (
+        run_available_now,
+    )
+
+    base = 1_700_000_000
+    # user 1: 0s, 100s (merge), an event EXACTLY gap later (merges too —
+    # session_window's boundary is inclusive, same delta <= gap rule as
+    # the batch operator), then gap+1s after that (splits)
+    # user 2: one event
+    rows = [
+        (1, 10, 0),
+        (1, 11, 100),
+        (1, 12, 100 + 1800),
+        (1, 13, 100 + 1800 + 1801),
+        (2, 20, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, off long").select(
+        "user_id", "event_id",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    src = str(tmp_path / "sess_src")
+    df.repartition(4).write.parquet(src)
+
+    sdf = streaming_sessionize(spark, src, gap_seconds=1800)
+    run_available_now(
+        sdf, str(tmp_path / "sess_ck"), "sess_stream_t", output_mode="complete"
+    )
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.sql("select * from sess_stream_t").collect()
+    }
+    u = 1_000_000
+    assert got == {
+        (1, base * u, (base + 1900 + 1800) * u, 3),
+        (1, (base + 3701) * u, (base + 3701 + 1800) * u, 1),
+        (2, (base + 5) * u, (base + 5 + 1800) * u, 1),
+    }
