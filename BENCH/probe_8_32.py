@@ -37,7 +37,10 @@ SHARD_DIRS = ",".join(f"/dev/shm/spark-probe-{i}" for i in range(8))
 
 
 def variant_env(name: str, cpus: int) -> dict[str, str]:
-    env = {"SPARK_GRAFT_DRIVER_MEM": "48g"}
+    # always pin SHUFFLE explicitly so the leg cache keys on the RESOLVED
+    # config: shuf_scaled@8 (64) must hit the same cache entry as base@8
+    # (scaling.py's default is also 64) instead of re-measuring it
+    env = {"SPARK_GRAFT_DRIVER_MEM": "48g", "SPARK_GRAFT_SHUFFLE": "64"}
     if name == "shuf_scaled":
         env["SPARK_GRAFT_SHUFFLE"] = str(8 * cpus)
     elif name == "dir_shards":

@@ -1001,13 +1001,16 @@ def _q_sessions_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", "ts"
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
     tmp = tempfile.mkdtemp(prefix="session_stream_src_")
     ev.write.mode("overwrite").parquet(tmp)
     name = f"session_stream_{uuid.uuid4().hex[:8]}"
-    sdf = streaming_sessionize(spark, tmp, gap_seconds=SESSION_GAP_SECONDS)
+    # explicit multi-year delay: a backfill drain must never drop trailing
+    # sessions as late just because the fixture's event-time spread crept
+    # past a default watermark (the sf events span ~30 days already)
+    sdf = streaming_sessionize(
+        spark, tmp, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="3650 days"
+    )
     run_available_now(
         sdf, tempfile.mkdtemp(prefix="session_stream_ck_"), name,
         output_mode="complete",

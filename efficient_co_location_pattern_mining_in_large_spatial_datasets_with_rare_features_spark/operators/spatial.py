@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ._ckpt import unpersist_ckpt as _unpersist_ckpt
-from .cells import GridSpec, compute_bounds, with_cell
+from .cells import GridSpec, with_cell
 from .pairs import hot_cells_local
 
 

@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENT_STREAM_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
+#: session_window has no intra-session ordering sensitivity, so unlike
+#: the batch operator no event-id tie-break column is needed in the feed
+EVENT_STREAM_SCHEMA = "user_id bigint, ts timestamp"
 
 
 def streaming_sessionize(
