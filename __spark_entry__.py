@@ -471,6 +471,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count(c).cast("long").alias("n_tokens"),
+        T.bpe_token_count(c).alias("n_bpe_tokens"),
         F.length(T.norm_text(c)).cast("long").alias("n_chars_norm"),
         T.punct_count(c).cast("long").alias("n_punct"),
         T.fingerprint(c).alias("fingerprint"),
@@ -1493,6 +1494,11 @@ WITH doctok AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
+       -- BPE-ish estimate: ASCII-class pre-tokenization, ceil(len/4)
+       -- pieces per run (mirrors functions/text.py::bpe_token_count)
+       COALESCE(list_sum(list_transform(
+         regexp_extract_all(norm, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+         m -> CAST(FLOOR((length(m) + 3) / 4.0) AS BIGINT))), 0) AS n_bpe_tokens,
        length(norm) AS n_chars_norm,
        length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
        md5(array_to_string(toks, ' ')) AS fingerprint

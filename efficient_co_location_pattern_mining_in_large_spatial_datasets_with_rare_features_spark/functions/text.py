@@ -44,6 +44,28 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenization: letter runs | digit runs | single other
+#: glyph (CJK and punctuation tokenize per character, like byte-level BPE
+#: without merges).  ASCII classes only — Java regex and RE2 (DuckDB)
+#: agree on these exactly, unlike \p{L} whose Unicode tables drift.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token-count estimate: regex pre-tokenize, then charge each
+    letter/digit run ``ceil(len/4)`` subword pieces (the standard
+    ~4-chars-per-token budget rule); single-glyph matches cost 1.  The
+    estimate every training-data pipeline uses for token budgeting when
+    running the real tokenizer over 100 TB is not worth it."""
+    pieces = F.regexp_extract_all(norm_text(col), F.lit(BPE_PATTERN), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.floor((F.length(m) + F.lit(3)) / F.lit(4)).cast("bigint"),
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (shingles for dedup).
 

@@ -253,3 +253,20 @@ def test_duplicate_groups_transitive(spark):
     )
     got = {(r.doc_id, r.group_id) for r in duplicate_groups(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_bpe_token_count_hand_cases(spark):
+    # "hello" = 1 run of 5 -> ceil(5/4) = 2 pieces; "world!" -> run(5)=2 + '!'=1
+    # "12345678" -> ceil(8/4) = 2; CJK chars cost 1 each; empty -> 0
+    df = _docs(spark, [
+        (1, "hello"),
+        (2, "world!"),
+        (3, "12345678"),
+        (4, "你好"),
+        (5, ""),
+        (6, "a b  c"),
+    ])
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", T.bpe_token_count(F.col("text")).alias("n")
+    ).collect()}
+    assert out == {1: 2, 2: 3, 3: 2, 4: 2, 5: 0, 6: 3}
