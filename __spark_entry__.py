@@ -488,6 +488,32 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
+TOPK_QUALITY_K = 5
+
+
+def _q_docs_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality filtering: keep the top-k docs by quality
+    score within each predicted language — the curation shape every
+    training pipeline runs (rank within bucket, keep the best).  One
+    window over (lang, quality desc, doc_id) — a single shuffle on the
+    language key."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_QUALITY_K)
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, ANN_QUERIES, k=ANN_K)
@@ -1224,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
+        "docs_topk_quality": _q_docs_topk_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1600,6 +1627,20 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {ANN_K}
 """,
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "docs_topk_quality": f"""
+WITH q AS ({qual}), l AS ({langid}),
+scored AS (
+  SELECT q.doc_id, l.lang_pred, q.quality
+  FROM q JOIN l ON q.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang_pred ORDER BY quality DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, lang_pred, quality, rank FROM ranked WHERE rank <= {TOPK_QUALITY_K}
+""",
         "events_sessionize": f"""
 WITH base AS (
   SELECT user_id, event_id AS eid, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse
