@@ -69,3 +69,43 @@ def test_split_assign_partition_and_determinism(spark):
 def test_split_assign_validation(spark):
     with pytest.raises(ValueError):
         split_assign(F.lit(1), train_pct=95, val_pct=10)
+
+
+def test_sessionize_matches_python_reference(spark):
+    # randomized-but-deterministic corpus vs a straightforward driver-side
+    # reference implementation (sorted sweep per user)
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for u in range(1, 8):
+        for _ in range(rng.randint(0, 40)):
+            rows.append((u, eid, rng.randint(0, 50_000)))
+            eid += 1
+    gap = 1800
+    df = _ev(spark, rows)
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_tse, r.end_tse)
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+
+    base_epoch = int(dt.datetime(2026, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    want = {}
+    by_user = {}
+    for u, e, s in rows:
+        by_user.setdefault(u, []).append((base_epoch + s, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, n, start, last = 0, 0, None, None
+        for ts, _ in evs:
+            if last is None or ts - last > gap:
+                if n:
+                    want[(u, sid)] = (n, start, last)
+                sid += 1
+                n, start = 0, ts
+            n += 1
+            last = ts
+        if n:
+            want[(u, sid)] = (n, start, last)
+    assert got == want
