@@ -270,3 +270,13 @@ def test_bpe_token_count_hand_cases(spark):
         "doc_id", T.bpe_token_count(F.col("text")).alias("n")
     ).collect()}
     assert out == {1: 2, 2: 3, 3: 2, 4: 2, 5: 0, 6: 3}
+
+
+def test_ivf_topk_corpus_smaller_than_codebook(spark):
+    # fewer corpus vectors than n_centroids: the codebook is just the whole
+    # corpus and every point is its own cell; results must still be exact
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(df, [0], k=2, n_centroids=8, n_probe=8)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
