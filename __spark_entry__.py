@@ -33,6 +33,9 @@ from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_fe
     dedup,
     similarity,
 )
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.curation import (
+    topk_per_group,
+)
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.cells import (
     compute_bounds,
     with_cell,
@@ -494,23 +497,25 @@ TOPK_QUALITY_K = 5
 def _q_docs_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality filtering: keep the top-k docs by quality
     score within each predicted language — the curation shape every
-    training pipeline runs (rank within bucket, keep the best).  One
-    window over (lang, quality desc, doc_id) — a single shuffle on the
-    language key."""
-    from pyspark.sql.window import Window
+    training pipeline runs (rank within bucket, keep the best).
 
+    lang_pred has ~6 distinct values, so a single window partitioned by
+    it would funnel the whole corpus through six reducers at scale.
+    topk_per_group runs the salted two-phase plan instead: rank within
+    (lang, salt), keep <= k (parallelism salts x langs), then re-rank
+    the <= salts*k survivors per language.  Output-identical to the
+    naive window for any salt count."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = docs.select(
         "doc_id",
         T.lang_id(F.col("text")).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     )
-    w = Window.partitionBy("lang_pred").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_QUALITY_K)
+    return topk_per_group(
+        scored,
+        group_cols=["lang_pred"],
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        k=TOPK_QUALITY_K,
     )
 
 
@@ -1523,9 +1528,11 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        -- BPE-ish estimate: ASCII-class pre-tokenization, ceil(len/4)
        -- pieces per run (mirrors functions/text.py::bpe_token_count)
-       COALESCE(list_sum(list_transform(
+       -- list_sum over a BIGINT list still returns HUGEINT in DuckDB
+       -- (materializes as float64 in Arrow), so cast the whole thing.
+       CAST(COALESCE(list_sum(list_transform(
          regexp_extract_all(norm, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
-         m -> CAST(FLOOR((length(m) + 3) / 4.0) AS BIGINT))), 0) AS n_bpe_tokens,
+         m -> CAST(FLOOR((length(m) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens,
        length(norm) AS n_chars_norm,
        length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
        md5(array_to_string(toks, ' ')) AS fingerprint
@@ -1752,7 +1759,7 @@ offs AS (
 ),
 nbr AS (
   SELECT c.cell_x AS p_x, c.cell_y AS p_y,
-         SUM(t.n) AS nbr_sum, COUNT(*) AS nbr_cells
+         CAST(SUM(t.n) AS BIGINT) AS nbr_sum, COUNT(*) AS nbr_cells
   FROM counts c
   JOIN offs o ON TRUE
   JOIN counts t

@@ -16,12 +16,33 @@ recomputing.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_warned = False
 
 
 def unpersist_ckpt(ck: DataFrame) -> None:
-    """Best-effort eager release of a ``localCheckpoint``'s storage blocks."""
+    """Best-effort eager release of a ``localCheckpoint``'s storage blocks.
+
+    Reaches through py4j to the analyzed plan's RDD, so a Spark upgrade
+    that changes the plan shape can break it; when that happens we warn
+    once per session instead of failing — iteration still works, but
+    checkpoint blocks then pin storage until the ContextCleaner GCs
+    them, which is worth a visible signal rather than a silent
+    regression.
+    """
+    global _warned
     try:
         ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — best-effort on plan-shape changes
-        pass
+    except Exception as e:  # noqa: BLE001 — best-effort on plan-shape changes
+        if not _warned:
+            _warned = True
+            warnings.warn(
+                "unpersist_ckpt: eager checkpoint release failed "
+                f"({type(e).__name__}: {e}); falling back to ContextCleaner "
+                "GC — executor storage may stay pinned between rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )

@@ -39,6 +39,85 @@ def _canon(rows, cols):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Oracle dtype preflight.
+#
+# DuckDB's Python `fetchall()` returns arbitrary-precision ints, which hides
+# a whole class of driver reds: the driver materializes the oracle through
+# pandas (`res.df()`), where an un-cast SUM(BIGINT) comes back as HUGEINT ->
+# float64 and hashes differently from the engine's bigint even when every
+# value is numerically identical (rounds 2-4 each lost a row to this).  So
+# we ALSO materialize each oracle via `.df()` and require every column's
+# canonical kind (int/float/str/bool/bytes/time) to match the Spark schema.
+
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "long": "int", "float": "float", "double": "float", "string": "str",
+    "boolean": "bool", "binary": "bytes", "date": "time",
+}
+
+
+def _spark_kind(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "float"
+    if dtype.startswith("timestamp"):
+        return "time"
+    return _SPARK_KIND.get(dtype, "other")
+
+
+def _pandas_kind(series) -> str:
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "time"
+    if k == "O":
+        import datetime
+        import decimal
+
+        nn = series.dropna()
+        if len(nn) == 0:
+            return "other"
+        v = nn.iloc[0]
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, (float, decimal.Decimal)):
+            return "float"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "time"
+        return "other"
+    return "other"
+
+
+_STRICT_KINDS = {"int", "float", "str", "bool", "bytes"}
+
+
+def oracle_dtype_mismatches(con, sql: str, spark_dtypes) -> list[str]:
+    """Return ['col: spark=int oracle=float', ...] for every column whose
+    pandas-materialized oracle kind conflicts with the Spark schema kind.
+    Kinds outside _STRICT_KINDS (arrays, all-null object cols, ...) are
+    not comparable through this lens and never flagged."""
+    pdf = con.execute(sql).df()
+    skinds = {name: _spark_kind(dt) for name, dt in spark_dtypes}
+    out = []
+    for col in pdf.columns:
+        sk = skinds.get(col)
+        ok = _pandas_kind(pdf[col])
+        if sk in _STRICT_KINDS and ok in _STRICT_KINDS and sk != ok:
+            out.append(f"{col}: spark={sk} oracle={ok}")
+    return out
+
+
 def compare_query(spark, sf_dir: str, name: str, qfn, sql: str | None):
     sdf = qfn(spark, sf_dir)
     scols = sdf.columns
@@ -70,8 +149,13 @@ def compare_query(spark, sf_dir: str, name: str, qfn, sql: str | None):
         diff_o = [r for r in o_can if r not in set(s_can)][:3]
         report["spark_only"] = diff_s
         report["oracle_only"] = diff_o
+    report["dtype_mismatches"] = oracle_dtype_mismatches(con, sql, sdf.dtypes)
+    report["dtypes_match"] = not report["dtype_mismatches"]
     report["match"] = (
-        report["cols_match"] and report["count_match"] and report["values_match"]
+        report["cols_match"]
+        and report["count_match"]
+        and report["values_match"]
+        and report["dtypes_match"]
     )
     return report
 
@@ -117,6 +201,7 @@ if __name__ == "__main__":
                 f" oracle_rows={rep.get('oracle_rows')}"
                 f" cols={rep.get('cols_match')} cnt={rep.get('count_match')}"
                 f" vals={rep.get('values_match')}"
+                f" dtypes={rep.get('dtype_mismatches')}"
                 f" s_only={rep.get('spark_only')} o_only={rep.get('oracle_only')}"
             )
         if status == "ERROR":

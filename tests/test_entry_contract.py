@@ -20,6 +20,28 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
 
 
+def test_dtype_gate_catches_hugeint(spark):
+    """Negative control for the oracle-dtype preflight: an un-cast
+    SUM(BIGINT) materializes as HUGEINT->float64 through pandas (the
+    driver's fetch path) and must be flagged against an engine bigint —
+    the exact bug class that went red in rounds 2, 3 and 4."""
+    import duckdb
+
+    from tests.preflight_entry import oracle_dtype_mismatches
+
+    con = duckdb.connect()
+    sdf = spark.range(2).selectExpr("CAST(id AS BIGINT) AS s")
+    bad = oracle_dtype_mismatches(
+        con, "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)", sdf.dtypes
+    )
+    assert bad == ["s: spark=int oracle=float"]
+    good = oracle_dtype_mismatches(
+        con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)",
+        sdf.dtypes,
+    )
+    assert good == []
+
+
 def test_all_queries_match_oracles(spark):
     reports = run_all(spark, SF_DIR)
     errors = [r for r in reports if "error" in r]
