@@ -174,6 +174,12 @@ def main() -> None:
         ).count(),
     )
     timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
+    # salted two-phase per-language top-k (operators/curation.py) — watches
+    # the de-skewed curation plan's cost at bench scale
+    timed(
+        "docs_topk_quality",
+        lambda: entrymod._q_docs_topk_quality(spark, sf_dir).count(),
+    )
     timed("events_hourly", lambda: entrymod._q_events_hourly(spark, sf_dir).count())
     timed(
         "events_sessionize",

@@ -967,3 +967,48 @@ class ColocationMiner:
             pair_count=pair_count,
             levels=all_levels,
         )
+
+    # ------------------------------------------------------- plan selector
+    # Measured crossover (BENCH/BASELINE.md "Plan choice at this scale"):
+    # the subtree plan's concurrent per-level barriers win only once driver
+    # barriers dominate — at the 2M-instance workload it is the faster and
+    # better-scaling plan, while on both reference datasets (23k-50k
+    # instances) it measured SLOWER than level-wise (9.55 vs 4.6-14.8 s
+    # legs).  ~1M instances is where the regimes flip on this hardware.
+    AUTO_SUBTREE_THRESHOLD = 1_000_000
+
+    def mine_auto(
+        self,
+        instances: DataFrame,
+        resume: bool = False,
+        n_instances: int | None = None,
+        max_workers: int = 8,
+    ) -> MiningResult:
+        """Mine with the measured-best physical plan for the input size:
+        level-wise (``mine``) below ``AUTO_SUBTREE_THRESHOLD`` instances,
+        per-subtree concurrent (``mine_subtrees``) at or above it.  Both
+        plans produce identical results (Lemma 5/6 — see
+        ``mine_subtrees``), so this only picks the faster schedule.
+
+        ``n_instances`` skips the sizing ``count()`` when the caller
+        already knows the cardinality (e.g. from table stats).
+
+        On ``resume=True`` an existing checkpoint's plan takes precedence
+        over the size heuristic: level manifests are laid out differently
+        per plan (``level_k/`` vs ``subtree_*/level_k/``), so switching
+        plans mid-run would silently restart from scratch instead of
+        resuming.
+        """
+        if resume and self.config.checkpoint_dir:
+            if self._load_manifests():
+                return self.mine(instances, resume=True)
+            if self._load_manifests_any_subtree():
+                return self.mine_subtrees(
+                    instances, max_workers=max_workers, resume=True
+                )
+        n = n_instances if n_instances is not None else instances.count()
+        if n >= self.AUTO_SUBTREE_THRESHOLD:
+            return self.mine_subtrees(
+                instances, max_workers=max_workers, resume=resume
+            )
+        return self.mine(instances, resume=resume)

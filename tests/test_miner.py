@@ -231,3 +231,45 @@ def test_approx_participation_matches_exact_on_sample(spark, sample_instances):
     # and is stable run-to-run.
     assert set(approx.patterns) == set(exact.patterns)
     assert approx.pair_count == exact.pair_count
+
+
+def test_mine_auto_picks_levelwise_below_threshold(spark, sample_instances):
+    """Small input: auto must produce the golden result via the level-wise
+    plan (no subtree checkpoint layout is ever created)."""
+    cfg = eng.ColocationConfig(5.0, 0.6)
+    res = eng.ColocationMiner(spark, cfg).mine_auto(sample_instances)
+    assert {frozenset(p) for p in res.patterns} == GOLD_SAMPLE
+
+
+def test_mine_auto_forced_subtree_same_result(spark, sample_instances):
+    """An n_instances hint at/above the threshold routes to the subtree
+    plan — output must be identical (Lemma 5/6 equivalence)."""
+    cfg = eng.ColocationConfig(5.0, 0.6)
+    miner = eng.ColocationMiner(spark, cfg)
+    res = miner.mine_auto(
+        sample_instances, n_instances=miner.AUTO_SUBTREE_THRESHOLD
+    )
+    assert {frozenset(p) for p in res.patterns} == GOLD_SAMPLE
+    assert sorted(res.wpi) == sorted(
+        miner.mine(sample_instances).wpi
+    )
+
+
+def test_mine_auto_resume_follows_existing_plan(spark, sample_instances, tmp_path):
+    """resume=True with existing LEVEL-WISE manifests must resume
+    level-wise even when the size hint says subtree — the checkpoint
+    layouts differ and switching plans would restart from scratch."""
+    import os
+
+    ck = str(tmp_path / "auto_ck")
+    cfg = eng.ColocationConfig(5.0, 0.6, checkpoint_dir=ck)
+    miner = eng.ColocationMiner(spark, cfg)
+    res_full = miner.mine(sample_instances)
+    res_resumed = miner.mine_auto(
+        sample_instances, resume=True, n_instances=10**9
+    )
+    assert {frozenset(p) for p in res_resumed.patterns} == {
+        frozenset(p) for p in res_full.patterns
+    }
+    # still a level-wise checkpoint tree: no subtree dirs were created
+    assert not [d for d in os.listdir(ck) if d.startswith("subtree_")]
