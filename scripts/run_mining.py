@@ -49,10 +49,12 @@ def main() -> None:
     ap.add_argument("--tiles", action="store_true", help="also write per-cell tile counts")
     ap.add_argument(
         "--plan",
-        choices=["levelwise", "subtree"],
-        default="levelwise",
-        help="physical mining plan: level-wise (checkpoint/resume capable) "
-        "or Algorithm-3 per-subtree (concurrent feature-rooted loops)",
+        choices=["levelwise", "subtree", "auto"],
+        default="auto",
+        help="physical mining plan: level-wise, Algorithm-3 per-subtree "
+        "(concurrent feature-rooted loops), or auto (measured-best by "
+        "input size; on --resume follows the existing checkpoint layout). "
+        "Both plans support --checkpoint-dir/--resume.",
     )
     args = ap.parse_args()
 
@@ -105,18 +107,11 @@ def main() -> None:
     t0 = time.time()
     miner = eng.ColocationMiner(spark, cfg)
     if args.plan == "subtree":
-        # checkpoint/resume is a level-wise-plan feature; refuse loudly
-        # rather than silently remining from scratch
-        if args.resume:
-            ap.error("--resume requires --plan levelwise (mine_subtrees "
-                     "has no checkpoint support)")
-        if args.checkpoint_dir:
-            print(
-                "[run_mining] warning: --checkpoint-dir is ignored by "
-                "--plan subtree (no checkpoint support)",
-                file=sys.stderr,
-            )
-        res = miner.mine_subtrees(instances)
+        res = miner.mine_subtrees(instances, resume=args.resume)
+    elif args.plan == "auto":
+        res = miner.mine_auto(
+            instances, resume=args.resume, n_instances=n_instances
+        )
     else:
         res = miner.mine(instances, resume=args.resume)
     wall = time.time() - t0
