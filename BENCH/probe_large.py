@@ -1,4 +1,6 @@
-"""8->32 wall probe at a ~5x working set (VERDICT r04 #6c).
+"""8->32 wall probe at the largest working set this sandbox can host
+(VERDICT r04 #6c; 1.5x the baseline — the 2.5x and 5x attempts died on
+scratch capacity, see below).
 
 Question: round 2-4 measured 8->32 scaling efficiency ~0.55-0.62 on the
 2M-instance workload and attributed it to the single-socket memory

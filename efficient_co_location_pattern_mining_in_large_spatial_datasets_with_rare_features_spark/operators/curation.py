@@ -69,6 +69,13 @@ def topk_per_group(
         raise ValueError(f"k must be >= 1, got {k}")
     if num_salts < 1:
         raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    for taken in (_SALT, rank_col):
+        if taken in df.columns:
+            raise ValueError(
+                f"input already has a column named {taken!r}; rename it "
+                "(or pass a different rank_col) — topk_per_group would "
+                "silently clobber it"
+            )
     order_by = list(order_by)
     group_cols = list(group_cols)
 

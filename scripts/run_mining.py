@@ -57,6 +57,10 @@ def main() -> None:
         "Both plans support --checkpoint-dir/--resume.",
     )
     args = ap.parse_args()
+    if args.resume and not args.checkpoint_dir:
+        # without manifests to read, every plan would silently remine
+        # from scratch — refuse loudly instead
+        ap.error("--resume requires --checkpoint-dir")
 
     # under spark-submit the session already exists; standalone it is built
     from pyspark.sql import SparkSession

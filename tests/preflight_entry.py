@@ -46,9 +46,12 @@ def _canon(rows, cols):
 # a whole class of driver reds: the driver materializes the oracle through
 # pandas (`res.df()`), where an un-cast SUM(BIGINT) comes back as HUGEINT ->
 # float64 and hashes differently from the engine's bigint even when every
-# value is numerically identical (rounds 2-4 each lost a row to this).  So
-# we ALSO materialize each oracle via `.df()` and require every column's
-# canonical kind (int/float/str/bool/bytes/time) to match the Spark schema.
+# value is numerically identical (rounds 2-4 each lost a row to this).  The
+# gate therefore checks each oracle column's PLANNED DuckDB logical type
+# (`con.sql(sql).types` — planning only, the query is never re-executed,
+# and unlike pandas dtypes the result cannot be skewed by NULL-driven
+# int->float promotion in whatever rows this sf happens to produce)
+# against the Spark schema's canonical kind.
 
 _SPARK_KIND = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
@@ -65,38 +68,25 @@ def _spark_kind(dtype: str) -> str:
     return _SPARK_KIND.get(dtype, "other")
 
 
-def _pandas_kind(series) -> str:
-    k = series.dtype.kind
-    if k in ("i", "u"):
-        return "int"
-    if k == "f":
-        return "float"
-    if k == "b":
-        return "bool"
-    if k in ("M", "m"):
-        return "time"
-    if k == "O":
-        import datetime
-        import decimal
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int",
+    # HUGEINT/DECIMAL are exact in DuckDB but materialize as float64
+    # through the driver's pandas fetch — that mismatch IS the bug class
+    "HUGEINT": "float", "UHUGEINT": "float",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes",
+    "DATE": "time", "TIME": "time", "INTERVAL": "time",
+}
 
-        nn = series.dropna()
-        if len(nn) == 0:
-            return "other"
-        v = nn.iloc[0]
-        if isinstance(v, str):
-            return "str"
-        if isinstance(v, bool):
-            return "bool"
-        if isinstance(v, int):
-            return "int"
-        if isinstance(v, (float, decimal.Decimal)):
-            return "float"
-        if isinstance(v, (bytes, bytearray)):
-            return "bytes"
-        if isinstance(v, (datetime.date, datetime.datetime)):
-            return "time"
-        return "other"
-    return "other"
+
+def _duck_kind(t: str) -> str:
+    if t.startswith("DECIMAL"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "time"
+    return _DUCK_KIND.get(t, "other")
 
 
 _STRICT_KINDS = {"int", "float", "str", "bool", "bytes"}
@@ -104,15 +94,15 @@ _STRICT_KINDS = {"int", "float", "str", "bool", "bytes"}
 
 def oracle_dtype_mismatches(con, sql: str, spark_dtypes) -> list[str]:
     """Return ['col: spark=int oracle=float', ...] for every column whose
-    pandas-materialized oracle kind conflicts with the Spark schema kind.
-    Kinds outside _STRICT_KINDS (arrays, all-null object cols, ...) are
-    not comparable through this lens and never flagged."""
-    pdf = con.execute(sql).df()
+    planned oracle type conflicts with the Spark schema kind.  Kinds
+    outside _STRICT_KINDS (arrays, structs, ...) are not comparable
+    through this lens and never flagged."""
+    rel = con.sql(sql)
     skinds = {name: _spark_kind(dt) for name, dt in spark_dtypes}
     out = []
-    for col in pdf.columns:
+    for col, t in zip(rel.columns, rel.types):
         sk = skinds.get(col)
-        ok = _pandas_kind(pdf[col])
+        ok = _duck_kind(str(t))
         if sk in _STRICT_KINDS and ok in _STRICT_KINDS and sk != ok:
             out.append(f"{col}: spark={sk} oracle={ok}")
     return out

@@ -82,3 +82,15 @@ def test_validation(spark):
         topk_per_group(df, ["grp"], [F.col("score")], 0)
     with pytest.raises(ValueError):
         topk_per_group(df, ["grp"], [F.col("score")], 3, num_salts=0)
+
+
+def test_refuses_column_collisions(spark):
+    """A pre-existing __tk_salt or rank_col column would be silently
+    clobbered by withColumn + drop — refuse instead."""
+    df = _skewed_df(spark)
+    with pytest.raises(ValueError, match="__tk_salt"):
+        topk_per_group(
+            df.withColumn("__tk_salt", F.lit(0)), ["grp"], [F.col("score")], 3
+        )
+    with pytest.raises(ValueError, match="score"):
+        topk_per_group(df, ["grp"], [F.col("doc_id")], 3, rank_col="score")
