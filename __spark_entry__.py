@@ -340,6 +340,44 @@ def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bucketed_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join (sources/bucketed.py): cell-assigned
+    instances are written ONCE as two cell-bucketed parquet tables (the
+    write shuffle), after which the same-cell cross-feature pair count —
+    join on (cell_x, cell_y) plus the downstream aggregation on the same
+    key — plans with ZERO runtime Exchanges (asserted in
+    tests/test_bucketed.py).  The pattern every repeated 100 TB equi-join
+    should use: shuffle once at write time, never again."""
+    import hashlib
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.bucketed import (
+        co_bucketed_join,
+        write_bucketed,
+    )
+
+    inst = instances_from_events(spark, sf_dir)
+    grid = compute_bounds(inst, D)
+    cells = with_cell(inst, grid)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_bucketed_{tag}"
+    a = cells.select(
+        "cell_x", "cell_y", F.col("feature").alias("f_a"), F.col("id").alias("id_a")
+    )
+    b = cells.select(
+        "cell_x", "cell_y", F.col("feature").alias("f_b"), F.col("id").alias("id_b")
+    )
+    write_bucketed(a, f"cells_a_{tag}", f"{base}/a", ["cell_x", "cell_y"], 16)
+    write_bucketed(b, f"cells_b_{tag}", f"{base}/b", ["cell_x", "cell_y"], 16)
+    j = co_bucketed_join(
+        spark, f"cells_a_{tag}", f"cells_b_{tag}", ["cell_x", "cell_y"]
+    )
+    return (
+        j.filter(F.col("f_a") < F.col("f_b"))
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").cast("long").alias("n_cross_pairs"))
+    )
+
+
 def _q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = instances_from_events(spark, sf_dir)
     return neighbor_pairs(inst, D).select("a_id", "b_id", "dist")
@@ -1239,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instances_derive": _q_instances,
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
+        "bucketed_cell_join": _q_bucketed_cell_join,
         "neighbor_pairs": _q_pairs,
         "pair_count": _q_pair_count,
         "feature_stats": _q_feature_stats,
@@ -1417,6 +1456,14 @@ SELECT id, feature, cell_x, cell_y FROM cells
         "tile_counts": f"""
 WITH {_INSTANCES_CTE}, {_CELLS_CTE}
 SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
+""",
+        "bucketed_cell_join": f"""
+WITH {_INSTANCES_CTE}, {_CELLS_CTE}
+SELECT a.cell_x, a.cell_y, COUNT(*) AS n_cross_pairs
+FROM cells a
+JOIN cells b
+  ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.feature < b.feature
+GROUP BY 1, 2
 """,
         "neighbor_pairs": f"""
 WITH {_INSTANCES_CTE}, {_PAIRS_CTE}

@@ -1,0 +1,88 @@
+"""Bucketed co-located joins (sources/bucketed.py): the write-time
+shuffle must buy ZERO runtime Exchanges on matching-key joins and
+downstream aggregations, with results identical to the plain join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.bucketed import (
+    co_bucketed_join,
+    exchange_count,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the sort-merge path: tiny test tables would otherwise
+    broadcast, which has no Exchange either way and proves nothing."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _fact(spark, col):
+    return spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias(col)
+    )
+
+
+def test_join_and_agg_are_exchange_free(no_broadcast, tmp_path):
+    spark = no_broadcast
+    write_bucketed(_fact(spark, "v"), "tbk_a", str(tmp_path / "a"), ["k"], 8)
+    write_bucketed(_fact(spark, "w"), "tbk_b", str(tmp_path / "b"), ["k"], 8)
+    j = co_bucketed_join(spark, "tbk_a", "tbk_b", ["k"])
+    assert exchange_count(j) == 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # the aggregation on the bucket key inherits the distribution too
+    agg = j.groupBy("k").agg(F.count("*").alias("n"))
+    assert exchange_count(agg) == 0
+    # the same join without bucketing shuffles both sides
+    plain = _fact(spark, "v").join(_fact(spark, "w"), ["k"])
+    assert exchange_count(plain) == 2
+
+
+def test_results_match_plain_join(no_broadcast, tmp_path):
+    spark = no_broadcast
+    write_bucketed(_fact(spark, "v"), "tbk_c", str(tmp_path / "c"), ["k"], 8)
+    write_bucketed(_fact(spark, "w"), "tbk_d", str(tmp_path / "d"), ["k"], 8)
+    got = sorted(
+        tuple(r)
+        for r in co_bucketed_join(spark, "tbk_c", "tbk_d", ["k"]).collect()
+    )
+    expected = sorted(
+        tuple(r) for r in _fact(spark, "v").join(_fact(spark, "w"), ["k"]).collect()
+    )
+    assert got == expected
+
+
+def test_join_on_subset_of_bucket_key_still_shuffles(no_broadcast, tmp_path):
+    """Bucketing on (k, k2) fixes the hash of BOTH columns; a join on k
+    alone cannot reuse it — documents the exact contract users must
+    follow at scale."""
+    spark = no_broadcast
+    two = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") % 7).alias("k2"),
+        F.col("id").alias("v"),
+    )
+    write_bucketed(two, "tbk_e", str(tmp_path / "e"), ["k", "k2"], 8)
+    write_bucketed(
+        two.withColumnRenamed("v", "w"), "tbk_f", str(tmp_path / "f"), ["k", "k2"], 8
+    )
+    full = co_bucketed_join(spark, "tbk_e", "tbk_f", ["k", "k2"])
+    assert exchange_count(full) == 0
+    subset = spark.table("tbk_e").join(
+        spark.table("tbk_f").select("k", "w"), ["k"]
+    )
+    assert exchange_count(subset) > 0
+
+
+def test_validation(spark, tmp_path):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        write_bucketed(df, "tbk_g", str(tmp_path / "g"), ["k"], 0)
+    with pytest.raises(ValueError):
+        write_bucketed(df, "tbk_h", str(tmp_path / "h"), [], 8)
