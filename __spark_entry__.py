@@ -605,6 +605,26 @@ def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 13  # GPT-3-style contamination shingle length
+
+
+def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check (operators/decontaminate.py):
+    every 50th doc plays the held-out benchmark; a training doc is
+    flagged with the count of its distinct 13-gram shingles that occur
+    anywhere in the benchmark (hits come from the corpus's planted
+    near-duplicates).  Benchmark shingles broadcast; the corpus is
+    never shuffled."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.decontaminate import (
+        shingle_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return shingle_contamination(train, bench, n=DECON_N)
+
+
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 
@@ -1306,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "sessions_stream_backfill": _q_sessions_stream_backfill,
         "docs_split": _q_docs_split,
+        "docs_decontaminate": _q_docs_decontaminate,
         "spatial_knn_join": _q_knn_join,
         "distance_join": _q_distance_join,
         "zonal_stats": _q_zonal_stats,
@@ -1763,6 +1784,24 @@ SELECT doc_id,
             ELSE 'test' END AS split,
        CAST(bucket AS BIGINT) AS bucket
 FROM b
+""",
+        "docs_decontaminate": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS u(i)
+  WHERE len(tk) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, COUNT(*) AS n_contaminated
+FROM sh s JOIN bench b USING (g)
+WHERE s.doc_id % 50 <> 0
+GROUP BY 1
 """,
         "point_in_polygon": f"""
 WITH {_INSTANCES_CTE},

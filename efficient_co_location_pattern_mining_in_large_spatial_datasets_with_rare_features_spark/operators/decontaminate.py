@@ -1,0 +1,56 @@
+"""Train/test contamination detection over word-n-gram shingles.
+
+The standard pre-training hygiene step (GPT-3 appendix C style): a
+training document is contaminated if it shares at least one length-n
+token shingle with any document of a held-out benchmark set; n = 13 is
+the common published choice — long enough that chance collisions in
+natural text are negligible, short enough to catch paraphrase-free
+copying.
+
+Physical plan: both sides reuse the dedup tokenizer/shingler
+(``dedup._shingles`` — per-doc DISTINCT shingle arrays, pure codegen),
+the benchmark's distinct shingle set is broadcast (benchmark suites are
+thousands of documents, dwarfed by the corpus — the asymmetry this
+operator exists to exploit), and the corpus side reduces to one
+explode + broadcast-hash-join + per-doc count: no shuffle touches the
+corpus at all in the broadcast path.  For a benchmark too big to
+broadcast pass ``broadcast=False`` and the join runs as a plain
+shuffle equi-join on the shingle string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+
+def shingle_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(doc_id, n_contaminated bigint) for every train doc sharing >= 1
+    distinct word-``n``-gram with the benchmark corpus; clean docs are
+    absent from the output.  ``n_contaminated`` counts the doc's
+    DISTINCT shingles that occur anywhere in the benchmark."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t_sh = _shingles(train, text_col, n).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    b_sh = (
+        _shingles(benchmark, text_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    if broadcast:
+        b_sh = F.broadcast(b_sh)
+    return (
+        t_sh.join(b_sh, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
