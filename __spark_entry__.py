@@ -529,6 +529,42 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (functions/text.py::scrub_pii): the
+    synthetic corpus carries no natural PII, so deterministic
+    email/phone/IPv4/SSN strings are planted by doc_id arithmetic (the
+    embedding_dupes non-vacuous-corpus pattern), then counted and
+    scrubbed.  Pure codegen regexes from the Java∩RE2 subset; the
+    oracle replays the same augmentation and patterns."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = F.col("text")
+    aug = F.when(
+        did % 7 == 0,
+        F.concat(aug, F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(aug)
+    aug = F.when(
+        did % 11 == 0,
+        F.concat(aug, F.lit(" call 555-867-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(aug)
+    aug = F.when(
+        did % 13 == 0,
+        F.concat(aug, F.lit(" from 10.0."), (did % 256).cast("string"), F.lit("."), ((did * 7) % 256).cast("string")),
+    ).otherwise(aug)
+    aug = F.when(
+        did % 17 == 0,
+        F.concat(aug, F.lit(" ssn 078-05-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(aug)
+    return docs.select(
+        "doc_id",
+        T.pii_count(aug, "email").alias("n_email"),
+        T.pii_count(aug, "ipv4").alias("n_ipv4"),
+        T.pii_count(aug, "phone").alias("n_phone"),
+        T.pii_count(aug, "ssn").alias("n_ssn"),
+        F.md5(T.scrub_pii(aug)).alias("scrubbed_fp"),
+    )
+
+
 TOPK_QUALITY_K = 5
 
 
@@ -1314,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
+        "text_pii_scrub": _q_text_pii_scrub,
         "docs_topk_quality": _q_docs_topk_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1608,6 +1645,37 @@ FROM doctok
 """,
         "text_langid": langid,
         "text_quality": qual,
+        "text_pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PII]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g')) AS scrubbed_fp
+FROM aug
+""",
         "ann_cosine_topk": f"""
 WITH {_QEMB_CTE},
 q AS (SELECT vec_id AS query_id, q AS qv FROM qemb WHERE vec_id IN ({", ".join(map(str, ANN_QUERIES))})),

@@ -141,3 +141,35 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized token stream (an
     order-sensitive rolling digest both engines share natively)."""
     return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+# ---------------------------------------------------------------- PII scrub
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so a DuckDB oracle can replay them verbatim.
+# Order matters where shapes could nest: SSN (3-2-4) before phone (3-3-4)
+# is safe because the groupings are disjoint, but IPv4 must be scrubbed
+# before phone-like digit runs ever could be (they cannot overlap here —
+# kept alphabetical for determinism of the output contract).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of ``kind`` PII matches in the raw text (bigint)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), 0)).cast(
+        "long"
+    )
+
+
+def scrub_pii(col: Column, replacement: str = "[PII]") -> Column:
+    """Text with every PII match replaced — a pure codegen expression
+    chain (one regexp_replace per category, insertion-ordered), so the
+    scrub runs JVM-side at full scan speed with no shuffle and no UDF."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out

@@ -280,3 +280,41 @@ def test_ivf_topk_corpus_smaller_than_codebook(spark):
     out = similarity.ivf_topk(df, [0], k=2, n_centroids=8, n_probe=8)
     got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
     assert got == [(1, 1), (2, 2)]
+
+
+def test_pii_counts_hand_cases(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and x@y.io twice"),
+        (2, "call 555-867-5309 or 555-123-4567"),
+        (3, "host 192.168.1.255 ok, not 1234.1.1.1"),
+        (4, "ssn 078-05-1120 but phone 555-867-5309 is not an ssn"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = _docs(spark, rows).select(
+        "doc_id",
+        T.pii_count(F.col("text"), "email").alias("e"),
+        T.pii_count(F.col("text"), "ipv4").alias("i"),
+        T.pii_count(F.col("text"), "phone").alias("p"),
+        T.pii_count(F.col("text"), "ssn").alias("s"),
+    )
+    got = {r["doc_id"]: (r["e"], r["i"], r["p"], r["s"]) for r in df.collect()}
+    assert got[1] == (2, 0, 0, 0)
+    assert got[2] == (0, 0, 2, 0)
+    # '1234.1.1.1' has no match: \b sits before '1234', \d{1,3} can take
+    # at most '123' and then requires '.', so every start position fails
+    # — only the real 192.168.1.255 counts
+    assert got[3] == (0, 1, 0, 0)
+    assert got[4] == (0, 0, 1, 1)
+    assert got[5] == (0, 0, 0, 0)
+
+
+def test_scrub_pii_replaces_all_and_is_idempotent(spark):
+    df = _docs(
+        spark,
+        [(1, "a@b.co saw 10.0.0.1 call 555-867-5309 ssn 078-05-1120 end")],
+    )
+    once = df.select(T.scrub_pii(F.col("text")).alias("t"))
+    out = once.collect()[0]["t"]
+    assert out == "[PII] saw [PII] call [PII] ssn [PII] end"
+    twice = once.select(T.scrub_pii(F.col("t")).alias("t")).collect()[0]["t"]
+    assert twice == out
