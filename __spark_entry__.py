@@ -565,6 +565,19 @@ def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (operators/quality.py): duplicate
+    token fraction + the per-doc most-frequent word bigram and the token
+    share it covers — the distributed (explode + groupBy) members of the
+    quality-rule set."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, n=2)
+
+
 TOPK_QUALITY_K = 5
 
 
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_text_pii_scrub,
+        "text_repetition": _q_text_repetition,
         "docs_topk_quality": _q_docs_topk_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1852,6 +1866,41 @@ SELECT doc_id,
             ELSE 'test' END AS split,
        CAST(bucket AS BIGINT) AS bucket
 FROM b
+""",
+        "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS dup_token_frac
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, g, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+  FROM counts
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       b.dup_token_frac,
+       t.g AS top_gram,
+       CAST(COALESCE(t.c, 0) AS BIGINT) AS top_gram_count,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST(COALESCE(t.c, 0) AS DOUBLE) * 2.0 / CAST(b.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS top_gram_token_frac
+FROM base b LEFT JOIN (SELECT doc_id, g, c FROM top WHERE rn = 1) t USING (doc_id)
 """,
         "docs_decontaminate": rf"""
 WITH toks AS (
