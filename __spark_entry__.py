@@ -342,37 +342,34 @@ def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bucketed_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exchange-free co-located join (sources/bucketed.py): cell-assigned
-    instances are written ONCE as two cell-bucketed parquet tables (the
+    instances are written ONCE as a cell-bucketed parquet table (the
     write shuffle), after which the same-cell cross-feature pair count —
-    join on (cell_x, cell_y) plus the downstream aggregation on the same
-    key — plans with ZERO runtime Exchanges (asserted in
-    tests/test_bucketed.py).  The pattern every repeated 100 TB equi-join
-    should use: shuffle once at write time, never again."""
+    a self-join on (cell_x, cell_y) through aliased projections plus the
+    downstream aggregation on the same key — plans with ZERO runtime
+    Exchanges (asserted in tests/test_bucketed.py).  The pattern every
+    repeated 100 TB equi-join should use: shuffle once at write time,
+    never again."""
     import hashlib
 
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.bucketed import (
-        co_bucketed_join,
         write_bucketed,
     )
 
     inst = instances_from_events(spark, sf_dir)
     grid = compute_bounds(inst, D)
-    cells = with_cell(inst, grid)
+    cells = with_cell(inst, grid).select("cell_x", "cell_y", "feature")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = f"/tmp/spark_graft_bucketed_{tag}"
-    a = cells.select(
-        "cell_x", "cell_y", F.col("feature").alias("f_a"), F.col("id").alias("id_a")
-    )
-    b = cells.select(
-        "cell_x", "cell_y", F.col("feature").alias("f_b"), F.col("id").alias("id_b")
-    )
-    write_bucketed(a, f"cells_a_{tag}", f"{base}/a", ["cell_x", "cell_y"], 16)
-    write_bucketed(b, f"cells_b_{tag}", f"{base}/b", ["cell_x", "cell_y"], 16)
-    j = co_bucketed_join(
-        spark, f"cells_a_{tag}", f"cells_b_{tag}", ["cell_x", "cell_y"]
-    )
+    # ONE bucketed write; the self-join reads the same table twice through
+    # aliased projections (a Project over a bucketed scan preserves the
+    # hash distribution, so both sides still skip their Exchange)
+    write_bucketed(cells, f"cells_{tag}", f"{base}/t", ["cell_x", "cell_y"], 16)
+    t = spark.table(f"cells_{tag}")
+    a = t.select("cell_x", "cell_y", F.col("feature").alias("f_a"))
+    b = t.select("cell_x", "cell_y", F.col("feature").alias("f_b"))
     return (
-        j.filter(F.col("f_a") < F.col("f_b"))
+        a.join(b, ["cell_x", "cell_y"])
+        .filter(F.col("f_a") < F.col("f_b"))
         .groupBy("cell_x", "cell_y")
         .agg(F.count("*").cast("long").alias("n_cross_pairs"))
     )
@@ -1898,7 +1895,7 @@ SELECT b.doc_id,
        t.g AS top_gram,
        CAST(COALESCE(t.c, 0) AS BIGINT) AS top_gram_count,
        CASE WHEN b.n_tokens > 0
-            THEN CAST(COALESCE(t.c, 0) AS DOUBLE) * 2.0 / CAST(b.n_tokens AS DOUBLE)
+            THEN LEAST(1.0, CAST(COALESCE(t.c, 0) AS DOUBLE) * 2.0 / CAST(b.n_tokens AS DOUBLE))
             ELSE 0.0 END AS top_gram_token_frac
 FROM base b LEFT JOIN (SELECT doc_id, g, c FROM top WHERE rn = 1) t USING (doc_id)
 """,

@@ -180,6 +180,18 @@ def main() -> None:
         "docs_topk_quality",
         lambda: entrymod._q_docs_topk_quality(spark, sf_dir).count(),
     )
+    timed(
+        "docs_decontaminate",
+        lambda: entrymod._q_docs_decontaminate(spark, sf_dir).count(),
+    )
+    timed(
+        "text_repetition",
+        lambda: entrymod._q_text_repetition(spark, sf_dir).count(),
+    )
+    timed(
+        "bucketed_cell_join",
+        lambda: entrymod._q_bucketed_cell_join(spark, sf_dir).count(),
+    )
     timed("events_hourly", lambda: entrymod._q_events_hourly(spark, sf_dir).count())
     timed(
         "events_sessionize",

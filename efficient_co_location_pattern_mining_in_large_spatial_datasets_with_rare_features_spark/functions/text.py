@@ -66,20 +66,31 @@ def bpe_token_count(col: Column) -> Column:
     )
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Word n-grams as space-joined strings (shingles for dedup).
+def token_ngrams(tok_col: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from an ALREADY-MATERIALIZED token
+    array column — the single home of two known traps:
 
-    Guard: Spark's ``sequence(1, 0)`` *descends* ([1, 0]) instead of being
-    empty, so docs shorter than n get an explicit empty array.
+    - Spark's ``sequence(1, 0)`` *descends* ([1, 0]) instead of being
+      empty, so inputs shorter than n get an explicit empty array;
+    - callers must project the token array FIRST (interpreted
+      higher-order exprs get no CSE: composing ``tokens(col)`` inline
+      re-runs the tokenizer once per gram — measured ~10x; see
+      dedup._shingles).
     """
-    t = tokens(col)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
     )
-    return F.when(F.size(t) >= n, grams).otherwise(
+    return F.when(F.size(tok_col) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of raw text (shingles for dedup).  Convenience form —
+    inside per-row pipelines prefer ``token_ngrams`` over a projected
+    token column (see its docstring)."""
+    return token_ngrams(tokens(col), n)
 
 
 def stopword_hits(col: Column, lang: str) -> Column:

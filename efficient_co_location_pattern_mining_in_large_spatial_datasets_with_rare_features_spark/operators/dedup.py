@@ -59,17 +59,9 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     higher-order exprs get no CSE — measured ~10x on this stage).
     """
     toks = docs.select("doc_id", T.tokens(F.col(text_col)).alias("t"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
-    )
     return toks.select(
         "doc_id",
-        F.array_distinct(
-            F.when(F.size("t") >= n, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("sh"),
+        F.array_distinct(T.token_ngrams(F.col("t"), n)).alias("sh"),
     )
 
 

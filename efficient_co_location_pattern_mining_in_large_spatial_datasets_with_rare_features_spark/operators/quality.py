@@ -31,7 +31,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> Dat
       (count ties break to the lexicographically LARGEST gram — the
       natural order of ``max(struct(count, gram))``) — NULL/0 for docs
       shorter than ``n`` tokens
-    - ``top_gram_token_frac``: count * n / n_tokens
+    - ``top_gram_token_frac``: min(1, count * n / n_tokens) — the cap
+      matters for self-overlapping repeats ('spam spam spam spam' has 3
+      occurrences of its top bigram over 4 tokens), where the
+      occurrence-count numerator would otherwise exceed the Gopher-style
+      "share of tokens covered" reading
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -49,13 +53,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> Dat
         .alias("dup_token_frac"),
     )
     grams = toks.filter(F.size("t") >= n).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
-            )
-        ).alias("g"),
+        "doc_id", F.explode(T.token_ngrams(F.col("t"), n)).alias("g")
     )
     top = (
         grams.groupBy("doc_id", "g")
@@ -76,9 +74,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> Dat
         F.coalesce("top_gram_count", F.lit(0)).cast("long").alias("top_gram_count"),
         F.when(
             F.col("n_tokens") > 0,
-            F.coalesce("top_gram_count", F.lit(0)).cast("double")
-            * F.lit(float(n))
-            / F.col("n_tokens").cast("double"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce("top_gram_count", F.lit(0)).cast("double")
+                * F.lit(float(n))
+                / F.col("n_tokens").cast("double"),
+            ),
         )
         .otherwise(F.lit(0.0))
         .alias("top_gram_token_frac"),

@@ -55,7 +55,11 @@ def write_bucketed(
         raise ValueError("bucket_cols must be non-empty")
     sort_cols = list(sort_cols) if sort_cols is not None else bucket_cols
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if mode == "overwrite":
+        # only overwrite clears the old catalog entry; append/error/ignore
+        # must see the existing table (dropping first silently lost the
+        # appended-to data)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = (
         df.write.mode(mode)
         .option("path", path)
@@ -68,14 +72,18 @@ def write_bucketed(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in ``df``'s planned
-    physical tree — the thing bucketing exists to remove.  Counted on
-    the pre-execution plan so probing stays free."""
+    """Number of shuffle Exchange operators in ``df``'s planned physical
+    tree — the thing bucketing exists to remove.  Counted on the
+    pre-execution plan so probing stays free.
+
+    Counts every ShuffleExchange regardless of origin
+    (ENSURE_REQUIREMENTS, REPARTITION_BY_NUM/COL, ...); BroadcastExchange
+    and ReusedExchange are excluded — a broadcast is not a shuffle."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
-        1
-        for ln in plan.splitlines()
-        if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
+        1 for ln in plan.splitlines() if re.search(r"(?<![A-Za-z])Exchange ", ln)
     )
 
 

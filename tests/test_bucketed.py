@@ -86,3 +86,22 @@ def test_validation(spark, tmp_path):
         write_bucketed(df, "tbk_g", str(tmp_path / "g"), ["k"], 0)
     with pytest.raises(ValueError):
         write_bucketed(df, "tbk_h", str(tmp_path / "h"), [], 8)
+
+
+def test_append_mode_preserves_existing_rows(spark, tmp_path):
+    df1 = _fact(spark, "v").filter(F.col("v") < 2500)
+    df2 = _fact(spark, "v").filter(F.col("v") >= 2500)
+    write_bucketed(df1, "tbk_i", str(tmp_path / "i"), ["k"], 4)
+    write_bucketed(df2, "tbk_i", str(tmp_path / "i"), ["k"], 4, mode="append")
+    assert spark.table("tbk_i").count() == 5000
+
+
+def test_exchange_count_sees_untagged_shuffles(spark):
+    assert exchange_count(spark.range(100).repartition(4)) == 1
+    # a broadcast is not a shuffle
+    small = spark.range(10).selectExpr("id AS k")
+    big = spark.range(1000).selectExpr("id AS k", "id AS v")
+    j = big.join(F.broadcast(small), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert exchange_count(j) == 0

@@ -85,4 +85,7 @@ def test_entry_finds_planted_near_dups(spark):
     out = entrymod._q_docs_decontaminate(spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert len(rows) >= 1
-    assert all(r["n_contaminated"] >= 1 for r in rows)
+    # near-duplicates share long runs, so a genuine hit carries MANY
+    # shared 13-grams — a max of 1 would mean the only matches were
+    # chance collisions, not the planted dups this guard is about
+    assert max(r["n_contaminated"] for r in rows) >= 2

@@ -30,6 +30,8 @@ def test_hand_cases(spark):
     assert got[1]["n_tokens"] == 4
     assert got[1]["dup_token_frac"] == pytest.approx(0.75)
     assert got[1]["top_gram"] == "spam spam" and got[1]["top_gram_count"] == 3
+    # 3 overlapping occurrences x 2 tokens > 4 tokens: capped at 1.0
+    assert got[1]["top_gram_token_frac"] == 1.0
     assert got[2]["dup_token_frac"] == 0.0
     assert got[2]["top_gram_count"] == 1
     assert got[3]["top_gram"] == "x y" and got[3]["top_gram_count"] == 3
