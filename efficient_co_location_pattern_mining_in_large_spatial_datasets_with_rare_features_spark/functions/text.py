@@ -12,6 +12,7 @@ heuristic), quality scoring, document fingerprinting, word n-grams.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -91,6 +92,36 @@ def word_ngrams(col: Column, n: int) -> Column:
     inside per-row pipelines prefer ``token_ngrams`` over a projected
     token column (see its docstring)."""
     return token_ngrams(tokens(col), n)
+
+
+def token_ngrams_vec(n: int, distinct: bool = False):
+    """Arrow-vectorized twin of ``token_ngrams``: a pandas UDF over an
+    ALREADY-MATERIALIZED token array column.
+
+    The expression form pays the interpreted-HOF tax per token copied —
+    fine for bigrams, ~5x worse at n=13 where every gram slices and
+    joins 13 tokens (measured 11 s for 200k 13-gram shingles at sf0.1;
+    this UDF does the same in one Arrow batch pass).  Tokenization stays
+    JVM-side, so engine/oracle parity remains purely structural: the
+    Python here only slices and joins the strings Spark produced.
+    ``distinct=True`` dedups per row preserving first-seen order.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    @pandas_udf("array<string>")
+    def grams(tok: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) < n:
+                return []
+            g = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            return list(dict.fromkeys(g)) if distinct else g
+
+        return tok.map(one)
+
+    return grams
 
 
 def stopword_hits(col: Column, lang: str) -> Column:

@@ -39,6 +39,12 @@ def shingle_contamination(
     DISTINCT shingles that occur anywhere in the benchmark."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # skinny-input rule (see operators/pairs.py): a one-file parquet corpus
+    # is one partition, and the shingle explode — the expensive stage —
+    # would run on a single core
+    parallelism = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < parallelism:
+        train = train.repartition(parallelism)
     t_sh = _shingles(train, text_col, n).select(
         "doc_id", F.explode("sh").alias("g")
     )

@@ -59,6 +59,14 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     higher-order exprs get no CSE — measured ~10x on this stage).
     """
     toks = docs.select("doc_id", T.tokens(F.col(text_col)).alias("t"))
+    if n >= 4:
+        # long shingles (decontamination n=13) hit the interpreted-HOF
+        # cliff: every gram re-copies n tokens through slice+concat_ws.
+        # The Arrow-vectorized twin does the same slicing in one batch
+        # pass (~10x at n=13); short grams stay pure-codegen.
+        return toks.select(
+            "doc_id", T.token_ngrams_vec(n, distinct=True)(F.col("t")).alias("sh")
+        )
     return toks.select(
         "doc_id",
         F.array_distinct(T.token_ngrams(F.col("t"), n)).alias("sh"),
