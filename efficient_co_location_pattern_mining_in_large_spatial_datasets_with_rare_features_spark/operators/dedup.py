@@ -22,6 +22,9 @@ Embedding near-dup (cosine) lives in similarity.py.
 
 from __future__ import annotations
 
+# module-scope on purpose: pandas_udf resolves its (stringified, thanks to
+# `from __future__ import annotations`) type hints against module globals
+import pandas as pd  # noqa: F401 — needed by pandas_udf hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,29 +180,48 @@ def minhash_signatures(
 
 
 def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """Signatures via one numpy broadcast-min per Arrow batch.
+
+    History of this shape: a nested-transform formulation re-ran the
+    whole tokenize->shingle pipeline inside each of the 128 lambda
+    branches (~100x, no CSE in interpreted HOFs); the round-2 rewrite
+    (explode + 128 plain min aggregates) fixed that but measured 11 s
+    at sf0.1 anyway — a 128-buffer HashAggregate exceeds
+    spark.sql.codegen.maxFields and runs interpreted, and raising the
+    knob did not restore codegen.  Round 5: hash each shingle JVM-side
+    (xxhash64 stays Spark-specific), then compute all 128 mins as a
+    single (num_hashes x n_shingles) numpy broadcast per row inside an
+    Arrow batch — no shuffle at all (the aggregate's exchange is gone
+    too; signatures are per-row).  Exact same integers: a*h+b < 2^41,
+    so int64 never overflows, and numpy's % matches pmod.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     seeds = MINHASH_SEEDS[:num_hashes]
-    # Explode + per-seed min aggregation: a nested-transform formulation
-    # inlines the whole tokenize->shingle pipeline into each of the 128
-    # lambda branches (interpreted higher-order exprs get no CSE) and is
-    # ~100x slower; this shape tokenizes once and the 128 mins are plain
-    # codegen'd aggregates.
-    exploded = sh.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id", (F.abs(F.xxhash64("g")) % MINHASH_PRIME).alias("h")
-    )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
-            f"s{i}"
-        )
-        for i, (a, b) in enumerate(seeds)
-    ]
-    sigs = exploded.groupBy("doc_id").agg(*aggs).select(
-        "doc_id", F.array(*[f"s{i}" for i in range(len(seeds))]).alias("sig")
+    a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
+    b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
+    p = np.int64(MINHASH_PRIME)
+    empty: list[int] = []
+
+    @pandas_udf("array<bigint>")
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None or len(h) == 0:
+                return empty
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            return ((a * hv + b) % p).min(axis=1).tolist()  # (128, n) -> mins
+
+        return hs.map(one)
+
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "sh", lambda g: F.abs(F.xxhash64(g)) % F.lit(MINHASH_PRIME)
+        ).alias("hs"),
     )
     # docs with no shingles get an empty signature (excluded from banding)
-    return sh.select("doc_id").join(sigs, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("sig"), F.array().cast("array<bigint>")).alias("sig"),
-    )
+    return hashed.select("doc_id", sig_udf("hs").alias("sig"))
 
 
 def minhash_lsh_duplicates(

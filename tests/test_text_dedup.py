@@ -318,3 +318,38 @@ def test_scrub_pii_replaces_all_and_is_idempotent(spark):
     assert out == "[PII] saw [PII] call [PII] ssn [PII] end"
     twice = once.select(T.scrub_pii(F.col("t")).alias("t")).collect()[0]["t"]
     assert twice == out
+
+
+def test_minhash_numpy_matches_aggregate_formula(spark):
+    """The Arrow/numpy signature path must reproduce the 128-aggregate
+    formula min((a*h+b) mod p) bit-for-bit — guards the vectorized
+    rewrite against drift."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        MINHASH_PRIME,
+        MINHASH_SEEDS,
+        _minhash_from_shingles,
+        _shingles,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f"), (2, "b c d e"), (3, ""), (4, "one-token")],
+    )
+    sh = _shingles(docs, "text", 2)
+    got = {r["doc_id"]: list(r["sig"]) for r in _minhash_from_shingles(sh, 8).collect()}
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS[:8])
+    ]
+    ref = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .select("doc_id", (F.abs(F.xxhash64("g")) % MINHASH_PRIME).alias("h"))
+        .groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"s{i}" for i in range(8)]).alias("sig"))
+    )
+    expected = {r["doc_id"]: list(r["sig"]) for r in ref.collect()}
+    for k, v in expected.items():
+        assert got[k] == v, k
+    # shingle-less docs carry an EMPTY signature (excluded from banding)
+    assert got[3] == [] and got[4] == []
