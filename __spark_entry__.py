@@ -948,13 +948,25 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_STATIC_HAMMING}
 """
 
 
-def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-pair canonicalization: connected components over the
-    Jaccard duplicate graph, labeled by min doc id (transitive dups A~B~C
-    collapse into one group even when J(A,C) < t)."""
+def _q_corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end materialized dedup (operators/dedup.py::dedup_membership):
+    exact pairs UNION MinHash-LSH near-dup pairs -> connected components
+    (min-id representative, transitive: A~B~C collapses even when A,C were
+    never a pair) -> per-doc keep/drop verdict with the duplicate count each
+    kept representative absorbed.  Subsumes the former ``dedup_groups``
+    entry (group_id is a column here) and adds the action a pipeline user
+    actually runs — the surviving-corpus contract is hash-checked whole,
+    not just its pair/group ingredients."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dedup.ngram_jaccard_duplicates(docs, threshold=JACCARD_T)
-    return dedup.duplicate_groups(pairs)
+    exact = (
+        dedup.exact_duplicates(docs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias("a_id"), F.col("canonical_id").alias("b_id"))
+    )
+    near = dedup.minhash_lsh_duplicates(docs, threshold=MINHASH_T, n=2).select(
+        "a_id", "b_id"
+    )
+    return dedup.dedup_membership(docs, exact.unionByName(near))
 
 
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,7 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dupes_static": _q_phash_dupes_static,
         "hotspot_cells": _q_hotspot_cells,
         "tile_pyramid": _q_tile_pyramid,
-        "dedup_groups": _q_dedup_groups,
+        "corpus_dedup_apply": _q_corpus_dedup_apply,
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         "pairs_stream_backfill": _q_pairs_stream_backfill,
         "dedup_stream_backfill": _q_dedup_stream_backfill,
@@ -1614,20 +1626,35 @@ WITH corpus AS (
 SELECT DISTINCT md5(text) AS content_hash FROM corpus
 """,
         "dedup_ngram_jaccard": _exact_jaccard_sql(JACCARD_T),
-        "dedup_groups": f"""
-WITH RECURSIVE {_DOCTOK_CTE}, {_SHINGLES_CTE}, {_jaccard_pairs_cte(JACCARD_T)},
+        "corpus_dedup_apply": f"""
+WITH RECURSIVE {_DOCTOK_CTE}, {_SHINGLES_CTE}, {_jaccard_pairs_cte(MINHASH_T)},
+hx AS (SELECT doc_id, md5(norm) AS h FROM doctok),
+exdup AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+alld AS (SELECT a_id, b_id FROM dup UNION SELECT a_id, b_id FROM exdup),
 adjg AS (
-  SELECT a_id AS s, b_id AS t FROM dup
+  SELECT a_id AS s, b_id AS t FROM alld
   UNION ALL
-  SELECT b_id AS s, a_id AS t FROM dup
+  SELECT b_id AS s, a_id AS t FROM alld
 ),
 nodes AS (SELECT DISTINCT s AS id FROM adjg),
 comp(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.t, c.lab FROM comp c JOIN adjg e ON e.s = c.id
-)
-SELECT id AS doc_id, MIN(lab) AS group_id FROM comp GROUP BY id
+),
+grp AS (SELECT id, MIN(lab) AS lab FROM comp GROUP BY id),
+gsz AS (SELECT lab, COUNT(*) - 1 AS extra FROM grp GROUP BY lab)
+SELECT d.doc_id,
+       COALESCE(g.lab, d.doc_id) AS group_id,
+       (g.id IS NULL OR g.lab = d.doc_id) AS kept,
+       CAST(CASE WHEN g.id IS NOT NULL AND g.lab = d.doc_id
+                 THEN z.extra ELSE 0 END AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN grp g ON g.id = d.doc_id
+LEFT JOIN gsz z ON z.lab = g.lab
 """,
         "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
         "dedup_simhash": _simhash_oracle_sql(),
