@@ -562,6 +562,37 @@ def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher quality rules (functions/text.py): mean line
+    length, bullet-started and ellipsis-ended line fractions, symbol-to-
+    word ratio.  The synthetic corpus is single-line, so deterministic
+    bullet/ellipsis/symbol lines are planted by doc_id arithmetic (the
+    PII-entry pattern) — the signals are non-vacuous and the oracle
+    replays the identical augmentation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit("- bullet item one")),
+        F.when(did % 3 == 0, F.lit("  * bullet item two")),
+        F.when(did % 4 == 0, F.lit("to be continued...  ")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("### header "), did.cast("string"), F.lit(" ###")),
+        ),
+        F.when(did % 7 == 0, F.lit("   ")),
+    )
+    return docs.select(
+        "doc_id",
+        T.n_lines(aug).alias("n_lines"),
+        T.mean_line_len(aug).alias("mean_line_len"),
+        T.bullet_line_frac(aug).alias("bullet_line_frac"),
+        T.ellipsis_line_frac(aug).alias("ellipsis_line_frac"),
+        T.symbol_word_ratio(aug).alias("symbol_word_ratio"),
+    )
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition signals (operators/quality.py): duplicate
     token fraction + the per-doc most-frequent word bigram and the token
@@ -1374,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_text_pii_scrub,
         "text_repetition": _q_text_repetition,
+        "text_line_quality": _q_text_line_quality,
         "docs_topk_quality": _q_docs_topk_quality,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1890,6 +1922,38 @@ SELECT doc_id,
             ELSE 'test' END AS split,
        CAST(bucket AS BIGINT) AS bucket
 FROM b
+""",
+        "text_line_quality": r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 3 = 0 THEN '- bullet item one' END,
+           CASE WHEN doc_id % 3 = 0 THEN '  * bullet item two' END,
+           CASE WHEN doc_id % 4 = 0 THEN 'to be continued...  ' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN '### header ' || CAST(doc_id AS VARCHAR) || ' ###' END,
+           CASE WHEN doc_id % 7 = 0 THEN '   ' END) AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+         list_filter(string_split(lower(trim(regexp_replace(t, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS toks
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS DOUBLE)
+         / CAST(len(ls) AS DOUBLE) AS mean_line_len,
+       CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+                                  OR starts_with(ltrim(x), '* '))) AS DOUBLE)
+         / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
+       CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...'))) AS DOUBLE)
+         / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac,
+       CAST(length(t) - length(replace(t, '#', ''))
+            + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+         / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS symbol_word_ratio
+FROM l
 """,
         "text_repetition": r"""
 WITH toks AS (

@@ -12,7 +12,6 @@ heuristic), quality scoring, document fingerprinting, word n-grams.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -106,13 +105,18 @@ def token_ngrams_vec(n: int, distinct: bool = False):
     Python here only slices and joins the strings Spark produced.
     ``distinct=True`` dedups per row preserving first-seen order.
     """
+    # pandas is a lazy dependency: the pure-expression functions in this
+    # module must import without it.  `from __future__ import annotations`
+    # stringifies hints module-wide, and pandas_udf resolves them against
+    # module globals — so attach REAL type objects via __annotations__
+    # instead of inline hints, keeping the import local to this factory.
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
-    @pandas_udf("array<string>")
-    def grams(tok: pd.Series) -> pd.Series:
+    def grams(tok):
         def one(t):
             if t is None or len(t) < n:
                 return []
@@ -121,7 +125,8 @@ def token_ngrams_vec(n: int, distinct: bool = False):
 
         return tok.map(one)
 
-    return grams
+    grams.__annotations__ = {"tok": pd.Series, "return": pd.Series}
+    return pandas_udf(grams, "array<string>")
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
@@ -215,3 +220,68 @@ def scrub_pii(col: Column, replacement: str = "[PII]") -> Column:
     for pat in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, replacement)
     return out
+
+
+# --------------------------------------------------- line-level quality
+# Gopher-family line rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1 quality
+# heuristics): documents dominated by bullet lists (> 90% of lines
+# bullet-started), ellipsis-truncated lines (> 30% ending "..."), or
+# symbol noise ('#' / "..." to word ratio > 0.1) are boilerplate.  The
+# thresholds are the caller's policy; these functions emit the signals.
+# All pure codegen expressions — full scan speed, no shuffle, no UDF —
+# and ASCII-only markers so Java-regex and RE2/DuckDB agree exactly.
+# Line = '\n'-separated segment of the RAW text ("" has one empty line);
+# every fraction divides two engine-identical integers once, so the
+# doubles hash bit-identically across engines.
+
+_BULLET_PREFIXES = ("- ", "* ")
+
+
+def doc_lines(col: Column) -> Column:
+    """Raw '\\n'-split lines (trailing empties kept on both engines)."""
+    return F.split(col, "\n")
+
+
+def n_lines(col: Column) -> Column:
+    return F.size(doc_lines(col)).cast("long")
+
+
+def mean_line_len(col: Column) -> Column:
+    """Mean raw character length per line (chars, not bytes)."""
+    ls = doc_lines(col)
+    total = F.aggregate(
+        ls, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l).cast("bigint")
+    )
+    return total.cast("double") / F.size(ls).cast("double")
+
+
+def _line_frac(col: Column, pred) -> Column:
+    ls = doc_lines(col)
+    return (
+        F.size(F.filter(ls, pred)).cast("double") / F.size(ls).cast("double")
+    )
+
+
+def bullet_line_frac(col: Column) -> Column:
+    """Fraction of lines whose ltrimmed text starts with '- ' or '* '."""
+    return _line_frac(
+        col,
+        lambda l: F.ltrim(l).startswith(_BULLET_PREFIXES[0])
+        | F.ltrim(l).startswith(_BULLET_PREFIXES[1]),
+    )
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    """Fraction of lines whose rtrimmed text ends with '...'."""
+    return _line_frac(col, lambda l: F.rtrim(l).endswith("..."))
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """('#' characters + non-overlapping '...' runs) per word, words from
+    the shared whitespace tokenizer; empty docs divide by 1."""
+    hashes = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    ellipses = F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0))
+    return (hashes + ellipses).cast("double") / F.greatest(
+        token_count(col), F.lit(1)
+    ).cast("double")

@@ -349,6 +349,52 @@ def test_scrub_pii_replaces_all_and_is_idempotent(spark):
     assert twice == out
 
 
+def test_line_quality_hand_cases(spark):
+    """Gopher line rules: hand-computed fractions on a crafted doc."""
+    text = "plain first line\n- bullet one\n  * bullet two\ncliff...\n### x #"
+    df = _docs(spark, [(1, text), (2, ""), (3, "no newline here")])
+    c = F.col("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.n_lines(c).alias("nl"),
+            T.mean_line_len(c).alias("mll"),
+            T.bullet_line_frac(c).alias("bf"),
+            T.ellipsis_line_frac(c).alias("ef"),
+            T.symbol_word_ratio(c).alias("sw"),
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.nl == 5
+    # lines: 16, 12, 14, 8, 7 chars -> 57/5
+    assert r1.mll == 57 / 5
+    assert r1.bf == 2 / 5 and r1.ef == 1 / 5
+    # 4 '#' + 1 '...' over 13 whitespace tokens
+    # (plain first line - bullet one * bullet two cliff... ### x #)
+    assert r1.sw == 5 / 13
+    # empty doc: one empty line, all-zero signals (no div-by-zero)
+    r2 = out[2]
+    assert (r2.nl, r2.mll, r2.bf, r2.ef, r2.sw) == (1, 0.0, 0.0, 0.0, 0.0)
+    assert out[3].nl == 1 and out[3].mll == 15.0
+
+
+def test_text_module_imports_without_pandas_at_module_scope():
+    """ADVICE r05: pandas must be a lazy dependency of functions/text.py —
+    the codegen-only functions import without it."""
+    import importlib
+    import sys
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions import (
+        text as tmod,
+    )
+
+    src = open(tmod.__file__).read().replace(".pyc", ".py")
+    assert "\nimport pandas" not in src and "\nfrom pandas" not in src
+    # and the vectorized factory still resolves its Arrow hints
+    assert tmod.token_ngrams_vec(2) is not None
+
+
 def test_minhash_numpy_matches_aggregate_formula(spark):
     """The Arrow/numpy signature path must reproduce the 128-aggregate
     formula min((a*h+b) mod p) bit-for-bit — guards the vectorized
