@@ -70,6 +70,31 @@ def test_broadcast_off_same_result(spark):
     assert on == off and len(on) == 1
 
 
+def test_hashed_vs_string_shingles_same_result(spark):
+    """The int64-hashed broadcast path (round-5 verdict #4) must be
+    output-identical to the exact string join on a collision-free corpus
+    (any real corpus — collisions are 2^-64-per-pair)."""
+    bench = _docs(spark, [(100, "a b c d e"), (101, "p q r s t")])
+    train = _docs(
+        spark,
+        [
+            (1, "z a b c d e z p q r s t"),
+            (2, "a b c d e a b c d e"),
+            (3, "nothing shared here at all"),
+        ],
+    )
+    hashed = sorted(
+        tuple(r) for r in shingle_contamination(train, bench, n=5).collect()
+    )
+    strings = sorted(
+        tuple(r)
+        for r in shingle_contamination(
+            train, bench, n=5, hash_shingles=False
+        ).collect()
+    )
+    assert hashed == strings and len(hashed) == 2
+
+
 def test_validation(spark):
     d = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
