@@ -348,8 +348,16 @@ def _q_bucketed_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream aggregation on the same key — plans with ZERO runtime
     Exchanges (asserted in tests/test_bucketed.py).  The pattern every
     repeated 100 TB equi-join should use: shuffle once at write time,
-    never again."""
-    import hashlib
+    never again.
+
+    The table/path are run-unique and cleaned up before returning
+    (ADVICE r05: the old fixed-per-sf_dir path raced when preflight and
+    bench overlapped, and leaked files + a session-global catalog entry);
+    the bounded per-cell result is pinned via localCheckpoint first, so
+    the returned DataFrame survives the cleanup."""
+    import shutil
+    import tempfile
+    import uuid
 
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.bucketed import (
         write_bucketed,
@@ -358,21 +366,28 @@ def _q_bucketed_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = instances_from_events(spark, sf_dir)
     grid = compute_bounds(inst, D)
     cells = with_cell(inst, grid).select("cell_x", "cell_y", "feature")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_bucketed_{tag}"
-    # ONE bucketed write; the self-join reads the same table twice through
-    # aliased projections (a Project over a bucketed scan preserves the
-    # hash distribution, so both sides still skip their Exchange)
-    write_bucketed(cells, f"cells_{tag}", f"{base}/t", ["cell_x", "cell_y"], 16)
-    t = spark.table(f"cells_{tag}")
-    a = t.select("cell_x", "cell_y", F.col("feature").alias("f_a"))
-    b = t.select("cell_x", "cell_y", F.col("feature").alias("f_b"))
-    return (
-        a.join(b, ["cell_x", "cell_y"])
-        .filter(F.col("f_a") < F.col("f_b"))
-        .groupBy("cell_x", "cell_y")
-        .agg(F.count("*").cast("long").alias("n_cross_pairs"))
-    )
+    tag = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    table = f"cells_{tag}"
+    try:
+        # ONE bucketed write; the self-join reads the same table twice
+        # through aliased projections (a Project over a bucketed scan
+        # preserves the hash distribution, so both sides still skip their
+        # Exchange)
+        write_bucketed(cells, table, f"{base}/t", ["cell_x", "cell_y"], 16)
+        t = spark.table(table)
+        a = t.select("cell_x", "cell_y", F.col("feature").alias("f_a"))
+        b = t.select("cell_x", "cell_y", F.col("feature").alias("f_b"))
+        out = (
+            a.join(b, ["cell_x", "cell_y"])
+            .filter(F.col("f_a") < F.col("f_b"))
+            .groupBy("cell_x", "cell_y")
+            .agg(F.count("*").cast("long").alias("n_cross_pairs"))
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,15 @@ def topk_per_group(
     order_by = list(order_by)
     group_cols = list(group_cols)
 
+    # skinny-input rule (ADVICE r05; see operators/pairs.py): the salt is
+    # partition-derived, so on a one-file parquet input (1 partition) it
+    # would be CONSTANT and phase 1 silently degenerates to the exact
+    # single-reducer window this operator exists to avoid.  Output stays
+    # correct either way; the repartition restores the de-skew.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(parallelism, num_salts):
+        df = df.repartition(parallelism)
+
     salted = df.withColumn(_SALT, F.spark_partition_id() % F.lit(num_salts))
     w1 = Window.partitionBy(*group_cols, _SALT).orderBy(*order_by)
     survivors = (

@@ -78,13 +78,50 @@ def exchange_count(df: DataFrame) -> int:
 
     Counts every ShuffleExchange regardless of origin
     (ENSURE_REQUIREMENTS, REPARTITION_BY_NUM/COL, ...); BroadcastExchange
-    and ReusedExchange are excluded — a broadcast is not a shuffle."""
-    import re
+    and ReusedExchange are excluded — a broadcast is not a shuffle and a
+    reuse executes zero extra times.
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        1 for ln in plan.splitlines() if re.search(r"(?<![A-Za-z])Exchange ", ln)
-    )
+    Primary implementation walks the physical tree via py4j and matches
+    node CLASS names (ADVICE r05: immune to plan-string format drift,
+    which would have made the regex silently return 0 and the
+    "exchange-free" assertions vacuous).  Any py4j surprise — a Spark
+    upgrade renaming accessors — falls back to the original line regex,
+    and tests/test_bucketed.py keeps a canary asserting the probe still
+    sees a known shuffle."""
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        return _count_shuffle_nodes(plan)
+    except Exception:  # noqa: BLE001 — fall back to the textual probe
+        import re
+
+        return sum(
+            1
+            for ln in plan.toString().splitlines()
+            if re.search(r"(?<![A-Za-z])Exchange ", ln)
+        )
+
+
+def _count_shuffle_nodes(node) -> int:
+    """Recursive ShuffleExchangeExec count over a JVM SparkPlan.
+
+    AdaptiveSparkPlanExec is a leaf in the tree API (its plan-to-run is a
+    field, not a child), so recurse through ``initialPlan()`` explicitly —
+    the plan AFTER EnsureRequirements inserted the Exchanges (inputPlan
+    precedes that rule and would vacuously count 0), matching what
+    ``toString`` prints before execution, and crucially NOT
+    ``finalPhysicalPlan()``, which would trigger execution.
+    ReusedExchangeExec is terminal: its target already counted where it
+    first appeared."""
+    cls = node.getClass().getSimpleName()
+    if cls == "ReusedExchangeExec":
+        return 0
+    n = 1 if cls == "ShuffleExchangeExec" else 0
+    if cls == "AdaptiveSparkPlanExec":
+        return n + _count_shuffle_nodes(node.initialPlan())
+    children = node.children()
+    for i in range(children.size()):
+        n += _count_shuffle_nodes(children.apply(i))
+    return n
 
 
 def co_bucketed_join(

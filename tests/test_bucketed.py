@@ -105,3 +105,32 @@ def test_exchange_count_sees_untagged_shuffles(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert exchange_count(j) == 0
+
+
+def test_exchange_count_tree_walk_matches_textual(spark):
+    """The py4j class-name walk (primary since r06) and the legacy line
+    regex must agree on plans that mix shuffles, broadcasts, sorts and
+    aggregations — if the walk ever silently under-counts, this canary and
+    test_exchange_count_sees_untagged_shuffles catch it."""
+    import re
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.bucketed import (
+        _count_shuffle_nodes,
+    )
+
+    big = spark.range(2000).selectExpr("id % 7 AS k", "id AS v")
+    other = spark.range(500).selectExpr("id % 7 AS k", "id AS w")
+    plans = [
+        big.groupBy("k").count(),
+        big.join(other, "k").groupBy("k").agg(F.sum("v")),
+        big.repartition(4, "k").sortWithinPartitions("v"),
+        big.join(F.broadcast(other), "k"),
+    ]
+    for df in plans:
+        jplan = df._jdf.queryExecution().executedPlan()
+        textual = sum(
+            1
+            for ln in jplan.toString().splitlines()
+            if re.search(r"(?<![A-Za-z])Exchange ", ln)
+        )
+        assert _count_shuffle_nodes(jplan) == textual == exchange_count(df)
