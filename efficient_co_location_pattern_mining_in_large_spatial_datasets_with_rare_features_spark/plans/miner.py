@@ -328,8 +328,10 @@ class ColocationMiner:
         return out
 
     def _invalidate_manifests(self) -> None:
-        """Remove every level manifest (levelwise and per-subtree) so no
-        later resume can mix id encodings after a collision fallback."""
+        """Remove every level manifest (levelwise and per-subtree) AND the
+        edge-table manifest so no later resume can mix id encodings after
+        a collision fallback (the bucketed edge files carry tainted
+        encoded ids; the fallback rerun rewrites them as strings)."""
         cfg = self.config
         if not (cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir)):
             return
@@ -338,6 +340,9 @@ class ColocationMiner:
                 "level_"
             ):
                 os.remove(os.path.join(root, "manifest.json"))
+        edges_man = os.path.join(cfg.checkpoint_dir, "edges_manifest.json")
+        if os.path.exists(edges_man):
+            os.remove(edges_man)
 
     # ---------------------------------------------------------------- plan
     def _stats(self, instances: DataFrame, check_hashes: bool = True):
@@ -415,6 +420,85 @@ class ColocationMiner:
             rank_expr[F.col("nbr_feature")].cast("int").alias("nbr_feature"),
             (F.xxhash64("nbr_id") if encode_ids else F.col("nbr_id")).alias("nbr_id"),
         )
+
+    #: clique-join key every level-k>=3 join (and every subtree level) hits
+    EDGE_BUCKET_COLS = ("center_id", "nbr_feature")
+
+    def _edges_ddl(self, encode_ids: bool) -> str:
+        idt = "BIGINT" if encode_ids else "STRING"
+        return (
+            f"center_feature INT, center_id {idt}, "
+            f"nbr_feature INT, nbr_id {idt}"
+        )
+
+    def _edge_table(
+        self,
+        instances: DataFrame,
+        counts: Mapping[str, int],
+        rank: Mapping[str, int],
+        encode_ids: bool,
+        resume: bool,
+    ) -> DataFrame:
+        """The edge table each level joins against — durable and bucketed
+        when checkpointing (round-5 verdict #1).
+
+        Without a checkpoint dir: the round-3 in-session plan (one upfront
+        repartition on the clique-join key, cached).  With one: the edges
+        are written ONCE as a parquet table bucketed+sorted on
+        (center_id, nbr_feature) under ``<checkpoint_dir>/edges``, so the
+        write shuffle is the LAST time they move — every level-k join
+        satisfies its required distribution straight off the scan, and a
+        RESUME (same or new session) re-attaches the layout via
+        ``ensure_bucketed_table`` and skips the entire pairs -> stars ->
+        edges recompute (the dominant fixed cost of re-mining; see
+        BENCH/resume_ab.py).  The edge manifest pins neighbor_distance and
+        the id encoding — the same trust model as level manifests."""
+        cfg = self.config
+        if not cfg.checkpoint_dir:
+            return self._prepartitioned(
+                self._encoded_edges(instances, counts, rank, encode_ids), counts
+            )
+        import hashlib
+
+        from ..sources.bucketed import ensure_bucketed_table, write_bucketed
+
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        table = "colocation_edges_" + hashlib.md5(
+            os.path.abspath(cfg.checkpoint_dir).encode()
+        ).hexdigest()[:10]
+        path = self._ckpt_path("edges")
+        man_path = self._ckpt_path("edges_manifest.json")
+        cols = list(self.EDGE_BUCKET_COLS)
+        if resume and os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            if (
+                man["neighbor_distance"] == cfg.neighbor_distance
+                and man["encode_ids"] == encode_ids
+                and os.path.isdir(path)
+            ):
+                return ensure_bucketed_table(
+                    self.spark, table, path, self._edges_ddl(encode_ids),
+                    cols, man["num_buckets"],
+                )
+            # stale layout (different d / encoding): fall through and rewrite
+        nbuckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = self._encoded_edges(instances, counts, rank, encode_ids)
+        out = write_bucketed(edges, table, path, cols, nbuckets)
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "neighbor_distance": cfg.neighbor_distance,
+                    "encode_ids": encode_ids,
+                    "num_buckets": nbuckets,
+                    "table": table,
+                    "written_at": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, man_path)
+        return out
 
     def _prepartitioned(self, edges: DataFrame, counts: Mapping[str, int]) -> DataFrame:
         """Pre-partition the edge table on the clique-join key: every
@@ -573,9 +657,7 @@ class ColocationMiner:
         # pairs -> edges is one linear pipeline; only the edges need to be
         # kept (one edge per pair, so pair_count == T_2 rows — no separate
         # count jobs over pairs or edges).
-        edges = self._prepartitioned(
-            self._encoded_edges(instances, counts, rank, encode_ids), counts
-        )
+        edges = self._edge_table(instances, counts, rank, encode_ids, resume)
         if cfg.persist_intermediates:
             edges = edges.persist()
         pair_count = 0
@@ -803,8 +885,8 @@ class ColocationMiner:
             instances, check_hashes=encode_ids
         )
         ranked = measures.rank_features(counts)
-        edges = self._prepartitioned(
-            self._encoded_edges(instances, counts, rank, encode_ids), counts
+        edges = self._edge_table(
+            instances, counts, rank, encode_ids, resume
         ).persist()
 
         # One global job covers every subtree's level-2 participation.
