@@ -173,6 +173,84 @@ def main() -> None:
             emb, threshold=0.9, blocked=True
         ).count(),
     )
+
+    # ---- ANN recall at scale (round-5 verdict #6): the sf0.1 corpus is
+    # 2k vectors, where recall 1.0 is uninformative.  Synthesize a
+    # deterministic 100k x 64-dim CLUSTERED corpus (256 integer-hash
+    # cluster centers + per-vector noise, the shape real embedding
+    # corpora have) and measure LSH + IVF recall@20 over 50 queries
+    # against the exact baseline, gated on a 0.9 floor.
+    from pyspark.sql import functions as F  # noqa: F811 — local use below
+
+    ANN_SCALE_N = 100_000
+    ANN_SCALE_K = 20
+    ANN_SCALE_CLUSTERS = 256
+    scale_queries = list(range(0, 5000, 100))  # 50 queries across clusters
+
+    def _u(col):  # deterministic pseudo-uniform in [-1, 1], LCG-style
+        return (F.pmod(F.xxhash64(col), F.lit(2001)) - F.lit(1000)) / F.lit(
+            1000.0
+        )
+
+    cid = F.pmod(F.col("id"), F.lit(ANN_SCALE_CLUSTERS))
+    big_emb = (
+        spark.range(ANN_SCALE_N)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.lit(0.9) * _u(cid * 64 + j)
+                    + F.lit(0.1) * _u(F.col("id") * 64 + j + 12345)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(2 * int(cpus))
+        .persist()
+    )
+    big_emb.count()
+    exact_100k = timed(
+        "ann_exact_topk_100k",
+        lambda: similarity.cosine_topk(
+            big_emb, scale_queries, k=ANN_SCALE_K
+        ).collect(),
+    )
+    lsh_100k = timed(
+        "ann_lsh_topk_100k",
+        lambda: similarity.lsh_topk(
+            big_emb, scale_queries, k=ANN_SCALE_K
+        ).collect(),
+    )
+    ivf_100k = timed(
+        "ann_ivf_topk_100k",
+        lambda: similarity.ivf_topk(
+            big_emb,
+            scale_queries,
+            k=ANN_SCALE_K,
+            n_centroids=ANN_SCALE_CLUSTERS,
+            n_probe=8,
+        ).collect(),
+    )
+    ex100 = {(r.query_id, r.neighbor_id) for r in exact_100k}
+    lsh_recall_100k = round(
+        len(ex100 & {(r.query_id, r.neighbor_id) for r in lsh_100k})
+        / max(len(ex100), 1),
+        3,
+    )
+    ivf_recall_100k = round(
+        len(ex100 & {(r.query_id, r.neighbor_id) for r in ivf_100k})
+        / max(len(ex100), 1),
+        3,
+    )
+    ANN_RECALL_FLOOR = 0.9
+    for nm, rec in (("lsh", lsh_recall_100k), ("ivf", ivf_recall_100k)):
+        status = "PASS" if rec >= ANN_RECALL_FLOOR else "BELOW FLOOR"
+        print(
+            f"[bench] ann_{nm} recall@{ANN_SCALE_K} on {ANN_SCALE_N} vectors: "
+            f"{rec} ({status} vs {ANN_RECALL_FLOOR})",
+            file=sys.stderr,
+        )
+    big_emb.unpersist()
     timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
     # salted two-phase per-language top-k (operators/curation.py) — watches
     # the de-skewed curation plan's cost at bench scale
@@ -254,6 +332,13 @@ def main() -> None:
                 "throughput_rows_per_sec": round(n_instances / flagship, 1),
                 "ann_lsh_recall": ann_recall,
                 "ann_ivf_recall": ivf_recall,
+                "ann_lsh_recall_100k": lsh_recall_100k,
+                "ann_ivf_recall_100k": ivf_recall_100k,
+                "ann_scale_recall_floor": ANN_RECALL_FLOOR,
+                "ann_scale_recall_pass": bool(
+                    lsh_recall_100k >= ANN_RECALL_FLOOR
+                    and ivf_recall_100k >= ANN_RECALL_FLOOR
+                ),
                 "d": BENCH_D,
                 "min_prev": BENCH_MIN_PREV,
                 # north-rule evidence: measured separately by BENCH/scaling.py
