@@ -332,8 +332,8 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # per-cell counts (operators/tiles.py::tile_counts) have no standalone
 # entry since r06: tile_pyramid's level-0 rows ARE the identical
-# aggregation (hash-checked there), and hotspot_cells/tile_vector/
-# tile_raster all re-derive it — four oracle entries already gate the op
+# aggregation (hash-checked there), and hotspot_cells/tile_encode
+# (both encodings) all re-derive it — three oracle entries gate the op
 # (r05 verdict #7 consolidation under the driver's 50-entry cap)
 
 
@@ -526,14 +526,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language ID + quality score in one frame (r06
+    consolidation of the r05-green ``text_langid`` + ``text_quality``
+    entries — both expressions over the same scan, strictly the same
+    checks under the driver's 50-entry cap)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
-
-
-def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
 
 
 def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,13 +678,23 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
 
 
+#: per-language mixture weights for the stratified-sampling check (a
+#: training pipeline downsampling over-represented strata); unlisted
+#: languages keep the default rate 1.0.
+STRATIFIED_RATES = {"en": 0.5, "de": 0.75, "es": 0.25}
+
+
 def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by md5-prefix hash
     bucket of the doc id — reproducible across engines and invariant to
-    the presence of other rows (functions/sampling.py)."""
+    the presence of other rows (functions/sampling.py) — plus the r06
+    stratified-sampling column: ``sampled`` is the per-language
+    rate-keep decision (``stratified_keep``), domain-separated from the
+    split hash so membership in one never biases the other."""
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
         hash_bucket,
         split_assign,
+        stratified_keep,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -689,6 +702,62 @@ def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         split_assign(F.col("doc_id")).alias("split"),
         hash_bucket(F.col("doc_id")).cast("long").alias("bucket"),
+        stratified_keep(F.col("doc_id"), F.col("lang"), STRATIFIED_RATES)
+        .cast("int")
+        .alias("sampled"),
+    )
+
+
+PACK_SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def _q_docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): each
+    document's absolute token offset in the doc_id-ordered token stream
+    and the chunk span it occupies at seq_len=2048.  The offset is a
+    GLOBAL exclusive prefix sum computed by the two-phase distributed
+    scan (order-preserving bucket ids -> per-bucket partials -> bucketed
+    window), never Spark's single-reducer un-partitioned window; the
+    oracle is the equivalent serial ``SUM() OVER (ORDER BY doc_id)``."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.packing import (
+        pack_chunks,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id", T.bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_chunks(sized, PACK_SEQ_LEN)
+
+
+def _q_docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning rules (functions/text.py, Raffel et al. 2020
+    §2.2): line keep = terminal punctuation + >=3 words + no
+    'javascript'; page keep = >=5 sentence terminators on kept text, no
+    'lorem ipsum', no curly brace.  The synthetic corpus is single-line
+    prose, so rule-triggering lines are planted deterministically by
+    doc_id arithmetic (the PII-entry pattern) and the oracle replays the
+    identical augmentation.  All pure codegen — no UDF, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(did % 2 == 0, F.lit("This planted sentence is properly terminated.")),
+        F.when(did % 3 == 0, F.lit("planted line without terminal punctuation")),
+        F.when(did % 5 == 0, F.lit("Please enable JavaScript to view the comments.")),
+        F.when(did % 7 == 0, F.lit("Lorem ipsum dolor sit amet.")),
+        F.when(did % 11 == 0, F.lit("config = { enabled: true }")),
+        F.when(did % 13 == 0, F.lit("Too short.")),
+    )
+    kept = T.c4_kept_text(aug)
+    return docs.select(
+        "doc_id",
+        T.n_lines(aug).alias("n_lines"),
+        F.size(T.c4_kept_lines(aug)).cast("long").alias("n_lines_kept"),
+        T.sentence_count(kept).alias("n_sentences_kept"),
+        T.c4_page_keep(aug).cast("int").alias("keep"),
+        F.md5(kept).alias("kept_fp"),
     )
 
 
@@ -1234,38 +1303,43 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_tile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector heatmap materialization: cell bbox polygon (WKT) + count."""
+def _q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile materializations, both encodings in one frame (r06
+    consolidation of the r05-green ``tile_vector`` + ``tile_raster``
+    entries, to keep every oracle-bearing entry inside the driver's
+    50-row artifact cap): vector rows carry the cell bbox polygon (WKT)
+    + count, raster rows one dense zero-filled scanline per cell_y.
+    Harmonized to (kind, key, payload) strings; the oracle is the UNION
+    ALL of the two original oracles under the same serialization, so
+    both encodings stay hash-checked."""
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
+        raster_tiles,
         tile_counts,
         vector_tiles,
     )
 
     inst = instances_from_events(spark, sf_dir)
     grid = compute_bounds(inst, D)
-    return vector_tiles(tile_counts(inst, grid), grid)
-
-
-def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster heatmap materialization: one dense zero-filled scanline per
-    cell_y (bounded by grid width, not instance count)."""
-    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.tiles import (
-        raster_tiles,
-        tile_counts,
-    )
-
-    inst = instances_from_events(spark, sf_dir)
-    grid = compute_bounds(inst, D)
-    raster = raster_tiles(tile_counts(inst, grid), grid)
-    # serialize the scanline for the oracle compare: the driver harness
-    # canonicalizes by sorting every column and array<bigint> cells are
-    # unhashable there; library users get the array from raster_tiles
-    return raster.select(
-        "cell_y",
-        F.array_join(F.col("counts").cast("array<string>"), ",").alias(
-            "counts_csv"
+    counts = tile_counts(inst, grid)
+    vec = vector_tiles(counts, grid).select(
+        F.lit("vector").alias("kind"),
+        F.concat_ws(
+            ",", F.col("cell_x").cast("string"), F.col("cell_y").cast("string")
+        ).alias("key"),
+        F.concat_ws("|", F.col("wkt"), F.col("n").cast("string")).alias(
+            "payload"
         ),
     )
+    # the scanline serializes for the compare harness (array cells are
+    # unhashable there); library users get the array from raster_tiles
+    ras = raster_tiles(counts, grid).select(
+        F.lit("raster").alias("kind"),
+        F.col("cell_y").cast("string").alias("key"),
+        F.array_join(F.col("counts").cast("array<string>"), ",").alias(
+            "payload"
+        ),
+    )
+    return vec.unionByName(ras)
 
 
 def _q_tile_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,8 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan,
         "hotspot_cells": _q_hotspot_cells,
         "tile_pyramid": _q_tile_pyramid,
-        "tile_vector": _q_tile_vector,
-        "tile_raster": _q_tile_raster,
+        "tile_encode": _q_tile_encode,
         "spatiotemporal_pairs": _q_spatiotemporal_pairs,
         # --- dedup / curation / text pipeline ---
         "dedup_exact": _q_dedup_exact,
@@ -1428,13 +1501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_apply": _q_corpus_dedup_apply,
         "phash_dupes_static": _q_phash_dupes_static,
         "text_stats": _q_text_stats,
-        "text_langid": _q_text_langid,
-        "text_quality": _q_text_quality,
+        "text_signals": _q_text_signals,
         "text_pii_scrub": _q_text_pii_scrub,
         "text_repetition": _q_text_repetition,
         "text_line_quality": _q_text_line_quality,
         "docs_topk_quality": _q_docs_topk_quality,
         "docs_split": _q_docs_split,
+        "docs_pack_chunks": _q_docs_pack_chunks,
+        "docs_c4_filter": _q_docs_c4_filter,
         "docs_decontaminate": _q_docs_decontaminate,
         # --- similarity search ---
         "ann_cosine_topk": _q_ann_topk,
@@ -1720,8 +1794,12 @@ SELECT doc_id,
        md5(array_to_string(toks, ' ')) AS fingerprint
 FROM doctok
 """,
-        "text_langid": langid,
-        "text_quality": qual,
+        # r06 consolidation: the two r05-green single-column checks join
+        # into one frame (identical expressions, same per-row hashes)
+        "text_signals": (
+            f"SELECT a.doc_id, a.lang_pred, b.quality\n"
+            f"FROM ({langid}) a JOIN ({qual}) b USING (doc_id)"
+        ),
         "text_pii_scrub": r"""
 WITH aug AS (
   SELECT doc_id,
@@ -1916,19 +1994,97 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_id
 """,
+        # the sampled column replays stratified_keep: same md5-prefix hash,
+        # 'sample:'-prefixed key (domain separation from the split hash),
+        # 1e6 buckets, per-language integer thresholds
         "docs_split": """
 WITH b AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-           % 100 AS bucket
+           % 100 AS bucket,
+         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS sb
   FROM documents
 )
 SELECT doc_id,
        CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
-       CAST(bucket AS BIGINT) AS bucket
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN sb < (CASE lang WHEN 'en' THEN 500000
+                                      WHEN 'de' THEN 750000
+                                      WHEN 'es' THEN 250000
+                                      ELSE 1000000 END)
+                 THEN 1 ELSE 0 END AS INT) AS sampled
 FROM b
+""",
+        # the serial twin of the two-phase distributed scan: one
+        # un-partitioned window (fine in DuckDB, the single-reducer plan
+        # the Spark operator exists to avoid).  SUM(BIGINT) is HUGEINT in
+        # DuckDB, so the offset is cast back down.
+        "docs_pack_chunks": f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(
+           regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+           m -> CAST(FLOOR((length(m) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM sized
+)
+SELECT doc_id, n_tokens, off AS "offset",
+       CAST(off // {PACK_SEQ_LEN} AS BIGINT) AS chunk_first,
+       CAST((off + GREATEST(n_tokens, 1) - 1) // {PACK_SEQ_LEN} AS BIGINT) AS chunk_last,
+       CAST((off + GREATEST(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
+            - off // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_chunks
+FROM offs
+""",
+        # replays the deterministic line augmentation, then the C4 rules
+        # (functions/text.py): line keep = terminal punct + >=3 words +
+        # no 'javascript'; page keep = >=5 sentence terminators on the
+        # kept text, no 'lorem ipsum', no curly brace
+        "docs_c4_filter": r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 2 = 0 THEN 'This planted sentence is properly terminated.' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'planted line without terminal punctuation' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'Please enable JavaScript to view the comments.' END,
+           CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.' END,
+           CASE WHEN doc_id % 11 = 0 THEN 'config = { enabled: true }' END,
+           CASE WHEN doc_id % 13 = 0 THEN 'Too short.' END) AS t
+  FROM documents
+),
+k AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+         list_filter(string_split(t, chr(10)), x ->
+           (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')
+            OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '"'))
+           AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM aug
+),
+j AS (
+  -- DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
+  SELECT doc_id, t, ls, kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS kt
+  FROM k
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g')) AS BIGINT)
+         AS n_sentences_kept,
+       CAST(CASE WHEN length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g')) >= 5
+                  AND NOT contains(lower(t), 'lorem ipsum')
+                  AND NOT contains(lower(t), '{') THEN 1 ELSE 0 END AS INT) AS keep,
+       md5(kt) AS kept_fp
+FROM j
 """,
         "text_line_quality": r"""
 WITH aug AS (
@@ -2229,23 +2385,11 @@ ranked AS (
 )
 SELECT qid, id, feature, dist, rank FROM ranked WHERE rank <= 3
 """,
-        "tile_vector": f"""
-WITH {_INSTANCES_CTE}, {_CELLS_CTE},
-cnt AS (
-  SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
-)
-SELECT c.cell_x, c.cell_y,
-       'POLYGON((' ||
-       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
-       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
-       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
-       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
-       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || '))'
-       AS wkt,
-       n
-FROM cnt c CROSS JOIN bounds b
-""",
-        "tile_raster": f"""
+        # r06 consolidation of the r05-green tile_vector + tile_raster
+        # oracles: UNION ALL under the shared (kind, key, payload)
+        # serialization, so both encodings stay hash-checked in one row
+        # of the driver's 50-entry artifact
+        "tile_encode": f"""
 WITH {_INSTANCES_CTE}, {_CELLS_CTE},
 cnt AS (
   SELECT cell_x, cell_y, COUNT(*) AS n FROM cells GROUP BY cell_x, cell_y
@@ -2256,8 +2400,20 @@ dense AS (
   CROSS JOIN (SELECT UNNEST(range(0, (SELECT ncx FROM bounds))) AS i) r
   LEFT JOIN cnt c ON c.cell_y = y.cell_y AND c.cell_x = r.i
 )
-SELECT cell_y,
-       array_to_string(list(n ORDER BY cell_x), ',') AS counts_csv
+SELECT 'vector' AS kind,
+       CAST(c.cell_x AS VARCHAR) || ',' || CAST(c.cell_y AS VARCHAR) AS key,
+       'POLYGON((' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r} + {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r} + {D!r}) || ', ' ||
+       printf('%.6f', b.minx + c.cell_x * {D!r}) || ' ' || printf('%.6f', b.miny + c.cell_y * {D!r}) || '))'
+       || '|' || CAST(c.n AS VARCHAR) AS payload
+FROM cnt c CROSS JOIN bounds b
+UNION ALL
+SELECT 'raster' AS kind,
+       CAST(cell_y AS VARCHAR) AS key,
+       array_to_string(list(n ORDER BY cell_x), ',') AS payload
 FROM dense GROUP BY cell_y
 """,
         # availableNow streaming backfill == the batch windowed aggregation

@@ -252,6 +252,15 @@ def main() -> None:
         )
     big_emb.unpersist()
     timed("text_stats", lambda: entrymod._q_text_stats(spark, sf_dir).count())
+    # r06 additions: two-phase distributed prefix sum + C4 page filter
+    timed(
+        "docs_pack_chunks",
+        lambda: entrymod._q_docs_pack_chunks(spark, sf_dir).count(),
+    )
+    timed(
+        "docs_c4_filter",
+        lambda: entrymod._q_docs_c4_filter(spark, sf_dir).count(),
+    )
     # salted two-phase per-language top-k (operators/curation.py) — watches
     # the de-skewed curation plan's cost at bench scale
     timed(

@@ -52,3 +52,37 @@ def split_assign(
         .when(b < F.lit(train_pct + val_pct), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def stratified_keep(
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> Column:
+    """Deterministic per-stratum downsampling (corpus mixture weights).
+
+    Keeps a row iff its hash bucket falls under ``floor(rate * buckets)``
+    for the row's stratum — the standard way a pipeline rebalances a
+    mixture (e.g. downsample boilerplate-heavy languages) while staying
+    reproducible and shuffle-free: membership is a pure function of
+    ``(key, stratum)``, so re-partitioning, re-running, or adding other
+    rows never flips a decision (the property ``df.sample`` lacks).
+
+    The hash stream is domain-separated from ``split_assign`` by a
+    ``sample:`` prefix, so sampling is independent of split membership
+    (a row's split never biases its keep probability).  Thresholds are
+    integers computed once at plan time; the row expression is one md5 +
+    one chained CASE — full codegen, SQL-oracle-reproducible.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    b = hash_bucket(F.concat(F.lit("sample:"), key.cast("string")), buckets)
+    thr = F.lit(int(default_rate * buckets))
+    for s, r in sorted(rates.items()):
+        thr = F.when(stratum == F.lit(s), F.lit(int(r * buckets))).otherwise(thr)
+    return b < thr

@@ -285,3 +285,66 @@ def symbol_word_ratio(col: Column) -> Column:
     return (hashes + ellipses).cast("double") / F.greatest(
         token_count(col), F.lit(1)
     ).cast("double")
+
+
+# --- C4 heuristic cleaning rules (Raffel et al. 2020, §2.2) --------------
+# The C4 corpus filter: keep a line iff it ends in a terminal punctuation
+# mark, has >= C4_MIN_LINE_WORDS words, and does not mention
+# "javascript"; keep a page iff its kept text has >= C4_MIN_SENTENCES
+# sentence terminators, no "lorem ipsum", and no curly brace.  All pure
+# codegen over the shared '\n' line split — no UDF, no shuffle — and the
+# markers are ASCII so Java regex and RE2/DuckDB agree exactly.  The
+# original also drops pages matching a public blocklist; that list is a
+# caller-supplied policy input, not a rule shape, so it is out of scope
+# here (compose with F.col filters).
+
+#: C4 keeps lines ending '.', '!', '?' or the closing double quote.
+_C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def _line_words(l: Column) -> Column:
+    return F.size(F.filter(F.split(F.trim(l), " "), lambda t: t != ""))
+
+
+def c4_line_keep(l: Column) -> Column:
+    """Per-line C4 keep predicate (terminal punctuation + word floor +
+    no 'javascript')."""
+    r = F.rtrim(l)
+    ends = F.lit(False)
+    for t in _C4_TERMINALS:
+        ends = ends | r.endswith(t)
+    return (
+        ends
+        & (_line_words(l) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(l).contains("javascript")
+    )
+
+
+def c4_kept_lines(col: Column) -> Column:
+    return F.filter(doc_lines(col), c4_line_keep)
+
+
+def c4_kept_text(col: Column) -> Column:
+    """The document after line filtering ('\\n'-rejoined kept lines)."""
+    return F.array_join(c4_kept_lines(col), "\n")
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentence terminators ('.', '!', '?') in the text — the C4 sentence
+    proxy, counted identically on both engines via regexp removal."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, r"[.!?]", ""))
+    ).cast("long")
+
+
+def c4_page_keep(col: Column) -> Column:
+    """Page-level C4 keep: sentence floor on the KEPT text, no
+    'lorem ipsum', no curly brace (both checked on the raw text)."""
+    low = F.lower(col)
+    return (
+        (sentence_count(c4_kept_text(col)) >= C4_MIN_SENTENCES)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )

@@ -109,3 +109,90 @@ def test_sessionize_matches_python_reference(spark):
         if n:
             want[(u, sid)] = (n, start, last)
     assert got == want
+
+
+def test_stratified_keep_rates_and_determinism(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        stratified_keep,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = df.filter(
+        stratified_keep(F.col("doc_id"), F.col("lang"), {"en": 0.25, "de": 0.75})
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 10k per stratum; md5 buckets are uniform, allow +-5% absolute
+    assert abs(counts["en"] - 2500) < 500, counts
+    assert abs(counts["de"] - 7500) < 500, counts
+    # determinism + repartition-invariance: same membership on a reshuffled frame
+    again = set(
+        r["doc_id"]
+        for r in df.repartition(17)
+        .filter(stratified_keep(F.col("doc_id"), F.col("lang"), {"en": 0.25, "de": 0.75}))
+        .collect()
+    )
+    assert again == set(r["doc_id"] for r in kept.collect())
+
+
+def test_stratified_keep_edge_rates_and_default(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        stratified_keep,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("zz")
+        .alias("s"),
+    )
+    kept = df.filter(
+        stratified_keep(F.col("doc_id"), F.col("s"), {"a": 0.0, "b": 1.0}, default_rate=1.0)
+    )
+    counts = {r["s"]: r["n"] for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # ids in [0,1000): 334 hit %3==0 ('a'), 333 hit %3==1 ('b'), 333 rest
+    assert "a" not in counts            # rate 0 drops everything
+    assert counts["b"] == 333           # rate 1 keeps everything
+    assert counts["zz"] == 333          # default rate applies to unknown strata
+
+
+def test_stratified_keep_validates_rates(spark):
+    import pytest as _pytest
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        stratified_keep,
+    )
+
+    with _pytest.raises(ValueError):
+        stratified_keep(F.lit(1), F.lit("x"), {"x": 1.5})
+    with _pytest.raises(ValueError):
+        stratified_keep(F.lit(1), F.lit("x"), {}, default_rate=-0.1)
+
+
+def test_stratified_keep_independent_of_split(spark):
+    """Domain separation: keep decisions must not correlate with split
+    membership (the 'sample:' prefix gives an independent hash stream)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        split_assign,
+        stratified_keep,
+    )
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    both = df.select(
+        split_assign(F.col("k")).alias("split"),
+        stratified_keep(F.col("k"), F.lit("en"), {"en": 0.5}).alias("keep"),
+    )
+    rates = {
+        r["split"]: r["kept"] / r["n"]
+        for r in both.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .collect()
+    }
+    for split, rate in rates.items():
+        assert abs(rate - 0.5) < 0.05, rates
