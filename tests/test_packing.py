@@ -35,6 +35,21 @@ def test_matches_serial_scan(spark, n_buckets):
     assert got == _serial(rows, 2048)
 
 
+def test_negative_and_wide_keys(spark):
+    """Bucket ids stay order-preserving for negative keys and a key span
+    far wider than the bucket count (integer div, no double rounding)."""
+    rows = [(-(10**12), 3), (-5, 2048), (0, 0), (7, 100), (10**12, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["offset"], r["chunk_first"], r["chunk_last"],
+            r["n_chunks"],
+        )
+        for r in pack_chunks(df, 2048, n_buckets=7).collect()
+    }
+    assert got == _serial(rows, 2048)
+
+
 def test_offsets_partition_the_stream(spark):
     # consecutive docs tile the stream: offset[i+1] = offset[i] + tokens[i]
     rows = [(i, (i * 37) % 500) for i in range(200)]
