@@ -764,13 +764,7 @@ def _q_docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_N = 13  # GPT-3-style contamination shingle length
 
 
-def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test contamination check (operators/decontaminate.py):
-    every 50th doc plays the held-out benchmark; a training doc is
-    flagged with the count of its distinct 13-gram shingles that occur
-    anywhere in the benchmark (hits come from the corpus's planted
-    near-duplicates).  Benchmark shingles broadcast; the corpus is
-    never shuffled."""
+def _decontaminate(spark: SparkSession, sf_dir: str, broadcast: bool) -> DataFrame:
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.decontaminate import (
         shingle_contamination,
     )
@@ -778,7 +772,28 @@ def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    return shingle_contamination(train, bench, n=DECON_N)
+    return shingle_contamination(train, bench, n=DECON_N, broadcast=broadcast)
+
+
+def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check (operators/decontaminate.py):
+    every 50th doc plays the held-out benchmark; a training doc is
+    flagged with the count of its distinct 13-gram shingles that occur
+    anywhere in the benchmark (hits come from the corpus's planted
+    near-duplicates).  Benchmark shingles broadcast; the corpus is
+    never shuffled."""
+    return _decontaminate(spark, sf_dir, broadcast=True)
+
+
+def _q_docs_decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``broadcast=False`` twin of ``docs_decontaminate`` — the
+    shuffle equi-join fallback that is the REAL 100 TB path when the
+    benchmark suite itself is too big to broadcast
+    (operators/decontaminate.py).  Round-6 verdict #5: this physical
+    plan was pytest-parity-tested but had no driver oracle row; same
+    semantics, same oracle SQL, so the hash check proves the two plans
+    byte-agree end-to-end."""
+    return _decontaminate(spark, sf_dir, broadcast=False)
 
 
 IVF_CENTROIDS = 16
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_chunks": _q_docs_pack_chunks,
         "docs_c4_filter": _q_docs_c4_filter,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_decontaminate_shuffle": _q_docs_decontaminate_shuffle,
         # --- similarity search ---
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -2439,4 +2455,8 @@ GROUP BY cell_x, cell_y
     # the drained stream-stream join must equal the batch spatiotemporal
     # pair set exactly — same oracle by construction
     out["st_pairs_stream_backfill"] = out["spatiotemporal_pairs"]
+    # broadcast=True and broadcast=False are the same logical join — the
+    # shuffle fallback (the real 100 TB path when the benchmark suite is
+    # too big to broadcast) must hash-match the broadcast plan's oracle
+    out["docs_decontaminate_shuffle"] = out["docs_decontaminate"]
     return out

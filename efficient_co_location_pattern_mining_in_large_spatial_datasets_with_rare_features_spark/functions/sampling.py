@@ -63,8 +63,11 @@ def stratified_keep(
 ) -> Column:
     """Deterministic per-stratum downsampling (corpus mixture weights).
 
-    Keeps a row iff its hash bucket falls under ``floor(rate * buckets)``
-    for the row's stratum — the standard way a pipeline rebalances a
+    Keeps a row iff its hash bucket falls under ``round(rate * buckets)``
+    (round-half-even, i.e. Python ``round``; NOT ``int(...)`` truncation,
+    which float error turns into an off-by-one — 0.29 * 1_000_000
+    float-truncates to 289_999) for the row's stratum — the standard way
+    a pipeline rebalances a
     mixture (e.g. downsample boilerplate-heavy languages) while staying
     reproducible and shuffle-free: membership is a pure function of
     ``(key, stratum)``, so re-partitioning, re-running, or adding other
@@ -82,7 +85,7 @@ def stratified_keep(
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
     b = hash_bucket(F.concat(F.lit("sample:"), key.cast("string")), buckets)
-    thr = F.lit(int(default_rate * buckets))
+    thr = F.lit(round(default_rate * buckets))
     for s, r in sorted(rates.items()):
-        thr = F.when(stratum == F.lit(s), F.lit(int(r * buckets))).otherwise(thr)
+        thr = F.when(stratum == F.lit(s), F.lit(round(r * buckets))).otherwise(thr)
     return b < thr

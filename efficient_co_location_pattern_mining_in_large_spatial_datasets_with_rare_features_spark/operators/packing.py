@@ -14,23 +14,31 @@ an un-partitioned window in a single reducer), which is exactly the
 kind of operator that works at sf0.01 and dies at 100 TB.  This module
 runs the classic two-phase distributed scan instead:
 
-1. bucket each row by an order-preserving, row-local integer
-   ``(key - min_key) div width`` (width sized so there are
-   ``n_buckets`` buckets — far more than cores, so the later
-   per-bucket window is parallel);
+1. range-partition the rows by key (``repartitionByRange`` — Spark's
+   RangePartitioner picks the cut points by *sampling the observed key
+   distribution*, so buckets are row-balanced for ANY key density:
+   uniform ids, ids clustered in 1% of the span, arbitrary gaps — the
+   round-6 uniform ``(key - min) div width`` arithmetic degenerated on
+   narrow-band keys, re-approaching the single-reducer plan) and stamp
+   each row with its partition id, which the range partitioner
+   guarantees is monotone in the key across partitions;
 2. one partial-aggregated ``groupBy(bucket).sum`` (map-side combine,
    ≤ ``n_buckets`` rows) collected to the driver, turned into
    per-bucket exclusive base offsets, and broadcast back;
 3. a window ``PARTITION BY bucket ORDER BY key`` running sum for the
    within-bucket offset; ``offset = bucket_base + local_offset``.
 
-Two shuffles total (the partial agg and the bucket-keyed window), both
-keyed by the bucket id; driver traffic is bounded by ``n_buckets``
-regardless of corpus size.  Bucket skew mirrors key-density skew: keys
-clustered in a narrow range concentrate buckets, degrading toward the
-single-reducer plan — acceptable for the dense synthetic ids here and
-documented for real corpora (re-key by a dense row number first if the
-id space is pathological).
+The bucketed skinny frame ``(key, tokens, bucket)`` is eagerly
+``localCheckpoint``-ed right after step 1: the source is scanned ONCE
+(so an expensive ``tokens_col`` expression — e.g. BPE token counting
+over full text — is computed once, not per downstream job), and the
+partials collect and the final window read the *same materialized
+rows*, so a nondeterministic upstream (sample / rand / nondeterministic
+UDF) can never make the driver-side bases disagree with the rows the
+window sees.  Two data shuffles total (the range partitioning and the
+bucket-keyed window; the partials agg moves ≤ 1 combined row per
+partition); driver traffic is bounded by ``n_buckets`` regardless of
+corpus size.
 
 Ordering contract: ``order_col`` must be unique per row — the prefix
 sum (and any SQL oracle's ``ORDER BY``) is otherwise ambiguous.  Both
@@ -50,6 +58,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucketize(
+    df: DataFrame, order_col: str, tokens_col: str, n_buckets: int
+) -> DataFrame:
+    """Skinny ``(_k, _t, _b)`` frame with a row-balanced, key-monotone
+    bucket id, eagerly materialized (single source scan; frozen rows).
+
+    ``_b`` is ``spark_partition_id()`` after ``repartitionByRange`` on
+    the key: the RangePartitioner samples the key distribution to pick
+    balanced cut points, so bucket occupancy tracks ROW COUNT, not key
+    span — immune to key-density skew by construction.  Partition count
+    is capped below ``n_buckets`` for small inputs (a 500-row test
+    corpus should not schedule 4096 near-empty tasks) but grows with
+    the input's own partitioning at scale.
+    """
+    key = F.col(order_col)
+    toks = F.col(tokens_col).cast("long")
+    sc = df.sparkSession.sparkContext
+    parts = min(
+        n_buckets, max(df.rdd.getNumPartitions(), 2 * sc.defaultParallelism)
+    )
+    # Two-stage materialization, each load-bearing:
+    #  - persist() the skinny projection BEFORE repartitionByRange: the
+    #    RangePartitioner runs a separate boundary-SAMPLING job over its
+    #    child, which would otherwise re-evaluate the source projection
+    #    (an expensive tokens_col like BPE counting would run twice per
+    #    row — caught by test_source_scanned_once); the sampling pass
+    #    touches every partition, so it populates the cache the shuffle
+    #    pass then reads.  Net: ONE source scan.
+    #  - localCheckpoint(eager) AFTER stamping _b: partition boundaries
+    #    are seeded per physical RDD id, so two separate actions over an
+    #    un-materialized plan could sample DIFFERENT cut points and
+    #    disagree on bucket ids between the partials job and the window
+    #    job.  Freezing (_k, _t, _b) makes both downstream jobs read the
+    #    same rows — also the determinism guarantee for nondeterministic
+    #    upstreams (sample / rand / nondeterministic UDFs).
+    pre = df.select(key.alias("_k"), toks.alias("_t")).persist()
+    bucketed = (
+        pre.repartitionByRange(parts, "_k")
+        .select("_k", "_t", F.spark_partition_id().alias("_b"))
+        .localCheckpoint(eager=True)
+    )
+    pre.unpersist()
+    return bucketed
+
+
 def pack_chunks(
     df: DataFrame,
     seq_len: int,
@@ -62,23 +115,25 @@ def pack_chunks(
     Input: one row per document with a unique integer ``order_col`` and
     a non-negative ``tokens_col``.  Output adds ``offset`` (exclusive
     prefix sum of tokens in key order), ``chunk_first``, ``chunk_last``
-    and ``n_chunks`` (all bigint).
+    and ``n_chunks`` (all bigint).  Eager: the call itself materializes
+    the skinny bucketed frame (one scan of ``df``) and collects
+    ≤ ``n_buckets`` partial rows to the driver.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    key = F.col(order_col)
-    toks = F.col(tokens_col).cast("long")
-    base = df.select(key.alias("_k"), toks.alias("_t"))
+    bucketed = _bucketize(df, order_col, tokens_col, n_buckets)
 
-    # Row-local, order-preserving bucket id.  Integer arithmetic only:
-    # span < 2^63 and width >= 1, so (k - mn) div width is exact where a
-    # double-rounded multiply could break monotonicity on wide spans.
-    bounds = base.agg(
-        F.min("_k").alias("mn"), F.max("_k").alias("mx")
-    ).collect()[0]
-    if bounds["mn"] is None:  # empty input
+    # Phase 1: per-bucket token sums -> driver (<= n_buckets rows) ->
+    # exclusive prefix per bucket, shipped back as a broadcast join.
+    # Bucket ids are monotone in _k across buckets (range partitioner),
+    # so sorting partials by _b orders them by key range.
+    partials = bucketed.groupBy("_b").agg(F.sum("_t").alias("_s")).collect()
+    spark = df.sparkSession
+    if not partials:  # empty input
+        key = F.col(order_col)
+        toks = F.col(tokens_col).cast("long")
         return df.select(
             key.alias(order_col),
             toks.alias(tokens_col),
@@ -87,39 +142,26 @@ def pack_chunks(
             F.lit(0).cast("long").alias("chunk_last"),
             F.lit(0).cast("long").alias("n_chunks"),
         ).limit(0)
-    mn = int(bounds["mn"])
-    span = int(bounds["mx"]) - mn + 1
-    width = max(1, -(-span // n_buckets))  # ceil div
-    bucketed = base.select(
-        "_k", "_t", F.expr(f"(_k - {mn}L) div {width}L").alias("_b")
-    )
-
-    # Phase 1: per-bucket token sums -> driver (<= n_buckets rows) ->
-    # exclusive prefix per bucket, shipped back as a broadcast join.
-    partials = bucketed.groupBy("_b").agg(F.sum("_t").alias("_s")).collect()
     partials.sort(key=lambda r: r["_b"])
     bases, acc = [], 0
     for r in partials:
         bases.append((int(r["_b"]), acc))
         acc += int(r["_s"])
-    spark = df.sparkSession
-    base_df = spark.createDataFrame(bases, "_b long, _base long")
+    base_df = spark.createDataFrame(bases, "_b int, _base long")
 
-    # Phase 2: within-bucket running sum, parallel across buckets.
+    # Phase 2: within-bucket running sum, parallel across buckets (the
+    # checkpointed rows are re-read, never the source).
     w = (
         Window.partitionBy("_b")
         .orderBy("_k")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = (
-        bucketed.join(F.broadcast(base_df), "_b")
-        .select(
-            "_k",
-            "_t",
-            (F.coalesce(F.sum("_t").over(w), F.lit(0)) + F.col("_base")).alias(
-                "offset"
-            ),
-        )
+    offs = bucketed.join(F.broadcast(base_df), "_b").select(
+        "_k",
+        "_t",
+        (F.coalesce(F.sum("_t").over(w), F.lit(0)) + F.col("_base")).alias(
+            "offset"
+        ),
     )
     first = F.expr("offset div " + str(seq_len))
     last = F.expr(f"(offset + greatest(_t, 1L) - 1L) div {seq_len}")

@@ -53,10 +53,29 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     while the Arrow round-trip amortizes to a single vectorized matmul
     lane.  Quantized components are <= 10^4 and dims <= a few hundred,
     so products stay far below int64 overflow; numpy int64 arithmetic
-    is exact — bit-identical output to ``_dot``."""
-    A = np.vstack(a.to_numpy())
-    B = np.vstack(b.to_numpy())
-    return pd.Series(np.einsum("ij,ij->i", A, B))
+    is exact — bit-identical output to ``_dot``.
+
+    Null semantics match ``_dot``: a NULL vector on either side yields
+    a NULL dot for that row (the batch still computes — a single null
+    embedding must not fail the whole scoring stage).  Contract: all
+    non-null vectors in a column share one fixed dimension (quantized
+    embeddings of one corpus); ragged dims are a caller bug and raise.
+    """
+    va, vb = a.to_numpy(), b.to_numpy()
+    ok = np.array(
+        [x is not None and y is not None for x, y in zip(va, vb)], dtype=bool
+    )
+    if ok.all():
+        return pd.Series(
+            np.einsum(
+                "ij,ij->i", np.vstack(va), np.vstack(vb)
+            )
+        )
+    out = pd.array([None] * len(va), dtype="Int64")
+    if ok.any():
+        dots = np.einsum("ij,ij->i", np.vstack(va[ok]), np.vstack(vb[ok]))
+        out[ok] = dots
+    return pd.Series(out)
 
 
 def _norm(a: F.Column) -> F.Column:

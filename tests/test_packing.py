@@ -102,3 +102,61 @@ def test_no_global_single_reducer_window(spark):
             # column directly followed by the frame — assert our bucket
             # column is in every spec instead.
             assert "_b" in line, f"un-partitioned window in plan: {line}"
+
+
+def test_skewed_keys_stay_bucket_balanced(spark):
+    """Round-6 verdict #6: 99% of keys packed into 1% of the key span
+    must NOT collapse into a handful of buckets (the old uniform
+    ``(key - min) div width`` arithmetic re-approached the
+    single-reducer plan there).  repartitionByRange samples the key
+    DISTRIBUTION, so bucket occupancy tracks row count, not key span —
+    assert enough active buckets AND unchanged offsets."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.packing import (
+        _bucketize,
+    )
+
+    n, n_buckets = 10_000, 64
+    # 9_900 keys dense in [0, 9_900) — 1% of the 1e6 span — plus 100
+    # spread across the rest of the span
+    keys = list(range(9_900)) + [10_000 + i * 9_900 for i in range(100)]
+    rows = [(k, (k * 13) % 97) for k in keys]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    cores = spark.sparkContext.defaultParallelism
+    active = (
+        _bucketize(df, "doc_id", "n_tokens", n_buckets)
+        .select("_b").distinct().count()
+    )
+    assert active >= min(cores, n_buckets // 2), active
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["offset"], r["chunk_first"], r["chunk_last"],
+            r["n_chunks"],
+        )
+        for r in pack_chunks(df, 2048, n_buckets=n_buckets).collect()
+    }
+    assert got == _serial(rows, 2048)
+
+
+def test_source_scanned_once(spark):
+    """The advice-r06 triple-scan fix: an expensive tokens_col expression
+    (here an accumulator-instrumented column) must be evaluated exactly
+    once per row — the bucketed skinny frame is eagerly checkpointed
+    before the partials collect and the final window."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(v):
+        acc.add(1)
+        return v
+
+    from pyspark.sql.types import LongType
+
+    bump_udf = F.udf(bump, LongType())
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), bump_udf(F.col("id") % 7).alias("n_tokens")
+    )
+    out = pack_chunks(df, 64, n_buckets=8)
+    out.collect()
+    out.collect()  # re-reads the checkpoint, never the source
+    assert acc.value == 50, acc.value

@@ -196,3 +196,37 @@ def test_stratified_keep_independent_of_split(spark):
     }
     for split, rate in rates.items():
         assert abs(rate - 0.5) < 0.05, rates
+
+
+def test_stratified_keep_threshold_rounds_not_truncates(spark):
+    """Advice-r06: 0.29 * 1_000_000 is 289999.999... in floats — int()
+    truncation gave threshold 289999 where every independently computed
+    round(rate * buckets) oracle says 290000.  Mirror the documented
+    rule (round-half-even) in pure Python md5 arithmetic and require
+    exact membership agreement."""
+    import hashlib
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.sampling import (
+        stratified_keep,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = set(
+        r["doc_id"]
+        for r in df.filter(
+            stratified_keep(F.col("doc_id"), F.col("lang"), {"en": 0.29})
+        ).collect()
+    )
+    thr = round(0.29 * 1_000_000)
+    assert thr == 290_000  # the truncation bug would use 289_999
+    want = set(
+        i
+        for i in range(n)
+        if int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:15], 16)
+        % 1_000_000
+        < thr
+    )
+    assert kept == want

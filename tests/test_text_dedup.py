@@ -428,3 +428,44 @@ def test_minhash_numpy_matches_aggregate_formula(spark):
         assert got[k] == v, k
     # shingle-less docs carry an EMPTY signature (excluded from banding)
     assert got[3] == [] and got[4] == []
+
+
+def test_pair_dot_null_vector_yields_null_dot(spark):
+    """Advice-r06: a single NULL embedding in a scoring batch must yield
+    a NULL dot for that row, not fail the whole Arrow batch (np.vstack
+    on a None raises) — matching the _dot expression semantics it
+    replaced."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
+        _pair_dot,
+    )
+
+    rows = [
+        (1, [1, 2, 3], [4, 5, 6]),      # 32
+        (2, None, [1, 1, 1]),            # null left
+        (3, [2, 2, 2], None),            # null right
+        (4, [10, 0, -1], [1, 1, 1]),     # 9
+        (5, None, None),                 # both null
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<bigint>, b array<bigint>"
+    )
+    got = {
+        r["id"]: r["dot"]
+        for r in df.select("id", _pair_dot("a", "b").alias("dot")).collect()
+    }
+    assert got == {1: 32, 2: None, 3: None, 4: 9, 5: None}
+
+
+def test_pair_dot_all_null_batch(spark):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
+        _pair_dot,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, None), (2, None, None)],
+        "id long, a array<bigint>, b array<bigint>",
+    )
+    got = [
+        r["dot"] for r in df.select(_pair_dot("a", "b").alias("dot")).collect()
+    ]
+    assert got == [None, None]
