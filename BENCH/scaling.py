@@ -112,53 +112,119 @@ def run_one(cpus: int) -> dict:
     return out
 
 
+def _gated_leg(cpus: int, ctl_procs: int) -> dict:
+    """One measurement attempt: pure-compute control -> leg -> control.
+
+    The leg counts only when BOTH controls are clean (wave-aware
+    harness, round-6 verdict #1): the pre-control proves the window was
+    open going in, the post-control that no wave started during the
+    run.  A dirty pre-control skips the (expensive) leg entirely and
+    records the rejected window."""
+    from control import control  # sibling module (BENCH/control.py)
+
+    attempt: dict = {"cpus": cpus, "ctl_pre": control(ctl_procs)}
+    if not attempt["ctl_pre"]["clean"]:
+        attempt.update(run=None, accepted=False, reason="pre-control dirty")
+        return attempt
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    attempt["run"] = json.loads(out.stdout.strip().splitlines()[-1])
+    attempt["ctl_post"] = control(ctl_procs)
+    if attempt["ctl_post"]["clean"]:
+        attempt.update(accepted=True, reason="both controls clean")
+    else:
+        attempt.update(accepted=False, reason="post-control dirty")
+    return attempt
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         print(json.dumps(run_one(int(sys.argv[2]))))
         return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    #: accepted walls wanted per level before stopping (best-of-N over
+    #: CLEAN windows only)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
-    results = {}
-    all_walls: dict[int, list[float]] = {lo: [], hi: []}
-    for cpus in (lo, hi):
-        best = None
-        for _ in range(reps):
-            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=3600,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            run = json.loads(line)
-            print(json.dumps(run), flush=True)
-            # best-of-N: single-machine runs carry ±10% JIT/cache/thermal
-            # noise; the minimum is the reproducible figure
-            all_walls[cpus].append(run["wall_sec"])
-            if best is None or run["wall_sec"] < best["wall_sec"]:
-                best = run
-        results[cpus] = best
-    t_lo, t_hi = results[lo]["wall_sec"], results[hi]["wall_sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    summary = {
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "12"))
+    window_sleep = float(os.environ.get("SPARK_GRAFT_SCALE_SLEEP", "120"))
+    # the control width is the widest parallelism under test: the 2->8
+    # comparison is valid iff the host delivers 8 full cores; the 8->32
+    # leg needs 32 (where this sandbox currently always fails — that IS
+    # the recorded evidence of the cap)
+    ctl_procs = int(os.environ.get("SPARK_GRAFT_CTL_PROCS", str(max(hi, 8))))
+
+    attempts: list[dict] = []
+    accepted: dict[int, list[dict]] = {lo: [], hi: []}
+    n_att = 0
+    while n_att < max_attempts:
+        # fill the cheap hi leg first (it probes window quality at a
+        # third of the lo leg's cost), then alternate toward whichever
+        # level has fewer accepted walls
+        cpus = hi if len(accepted[hi]) <= len(accepted[lo]) else lo
+        if len(accepted[cpus]) >= reps:
+            cpus = hi if cpus == lo else lo
+        n_att += 1
+        att = _gated_leg(cpus, ctl_procs)
+        attempts.append(att)
+        print(json.dumps(att), flush=True)
+        if att["accepted"]:
+            accepted[cpus].append(att["run"])
+        if all(len(accepted[c]) >= reps for c in (lo, hi)):
+            break
+        if not att["accepted"]:
+            time.sleep(window_sleep)  # let the wave pass
+
+    def best(c):
+        runs = accepted[c]
+        return min(runs, key=lambda r: r["wall_sec"]) if runs else None
+
+    b_lo, b_hi = best(lo), best(hi)
+    summary: dict = {
         "metric": f"mining throughput scaling local[{lo}] -> local[{hi}]",
-        f"t{lo}_sec": t_lo,
-        f"t{hi}_sec": t_hi,
-        f"rows_per_sec_{lo}": results[lo]["rows_per_sec"],
-        f"rows_per_sec_{hi}": results[hi]["rows_per_sec"],
-        "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
-        "passes_north_rule": eff >= 0.8,
-        # every leg wall, not just the best pair: a reader can judge the
-        # run-to-run spread (host waves) the best-of-N figure hides
-        f"runs_{lo}": all_walls[lo],
-        f"runs_{hi}": all_walls[hi],
-        "n_instances": results[hi]["n_instances"],
-        "pairs": results[hi]["pairs"],
+        "harness": "wave-aware: per-leg pure-compute control sandwich "
+        f"({ctl_procs}-wide register-bound subprocesses, clean = "
+        "overhead <= tol); legs accepted only in clean windows",
+        "control_tol": attempts[0]["ctl_pre"]["tol"] if attempts else None,
+        "attempts": attempts,
+        "n_rejected_windows": sum(1 for a in attempts if not a["accepted"]),
+        f"accepted_runs_{lo}": [r["wall_sec"] for r in accepted[lo]],
+        f"accepted_runs_{hi}": [r["wall_sec"] for r in accepted[hi]],
     }
+    if b_lo and b_hi:
+        t_lo, t_hi = b_lo["wall_sec"], b_hi["wall_sec"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        summary.update(
+            {
+                f"t{lo}_sec": t_lo,
+                f"t{hi}_sec": t_hi,
+                f"rows_per_sec_{lo}": b_lo["rows_per_sec"],
+                f"rows_per_sec_{hi}": b_hi["rows_per_sec"],
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "passes_north_rule": eff >= 0.8,
+                "n_instances": b_hi["n_instances"],
+                "pairs": b_hi["pairs"],
+            }
+        )
+    else:
+        # no clean window at one (or both) levels: the artifact records
+        # N rejected windows with their control walls — the honest
+        # "host never offered a window" outcome
+        summary.update(
+            {
+                "scaling_efficiency": None,
+                "passes_north_rule": False,
+                "no_clean_window_for": [c for c in (lo, hi) if not best(c)],
+            }
+        )
     print(json.dumps(summary))
     # persist for bench.py to surface the latest real measurement in its
     # JSON line (never a hardcoded constant); the per-leg artifact keeps

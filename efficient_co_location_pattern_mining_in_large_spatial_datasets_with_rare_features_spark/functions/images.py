@@ -57,14 +57,25 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(buf: bytes) -> tuple[np.ndarray, str]:
-    """Decode -> (pixels uint8 [h,w,3], fmt). Raises on malformed payloads."""
+    """Decode -> (pixels uint8 [h,w,3], fmt). Raises on malformed payloads.
+
+    Routing: FPNG/FJPG payloads use the hermetic fake codec (the CI
+    path); anything else is handed to the REAL codec via PIL when it is
+    installed (``decode_real``), so real PNG/JPEG corpora flow through
+    the same mapInPandas operators with no code change — in this
+    container (no PIL) unknown magics fail loudly instead."""
     magic, rest = buf[:4], buf[4:]
     if magic == MAGIC_PNG:
         fmt = "png"
     elif magic == MAGIC_JPG:
         fmt = "jpeg"
+    elif HAVE_PIL:
+        return decode_real(buf)
     else:
-        raise ValueError(f"unknown image magic {magic!r}")
+        raise ValueError(
+            f"unknown image magic {magic!r} (real codecs need PIL, "
+            "not installed in this container)"
+        )
     w = int.from_bytes(rest[:4], "big")
     h = int.from_bytes(rest[4:8], "big")
     body = np.frombuffer(rest[8:], dtype=np.uint8)
@@ -76,16 +87,30 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
     return px, fmt
 
 
-def decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover
-    """Extension point for real PNG/JPEG decoding via PIL.
+def decode_real(buf: bytes) -> tuple[np.ndarray, str]:
+    """Real PNG/JPEG decode via PIL, same contract as ``decode``.
 
-    STUB: image libraries are not installed in this environment; the
-    Spark-side plumbing (schemas, batching, UDF signatures) is identical
-    for real codecs — only this function changes.
+    Detected at import (``HAVE_PIL``): when PIL is installed,
+    ``decode()`` routes every non-FPNG/FJPG payload here, so the
+    mapInPandas operators (features, resize, frame sampling) process
+    real corpora unchanged.  In this container PIL is absent and the
+    FVID/FPNG fake formats remain the hermetic CI path.
     """
-    raise NotImplementedError(
-        "real image codecs unavailable in this container; use decode()"
-    )
+    if not HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        raise NotImplementedError(
+            "real image codecs unavailable in this container; use decode()"
+        )
+    import io
+
+    import PIL.Image
+
+    try:
+        img = PIL.Image.open(io.BytesIO(buf))
+        fmt = (img.format or "").lower()
+        px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception as e:  # undecodable bytes: same error contract as fake
+        raise ValueError(f"PIL could not decode payload: {e}") from e
+    return px, ("jpeg" if fmt in ("jpg", "jpeg") else fmt or "png")
 
 
 # ------------------------------------------------------------------ checks

@@ -163,7 +163,18 @@ def ngram_jaccard_duplicates(
         )
         .distinct()
     )
-    out = _verified_jaccard_pairs(cand, sh, threshold)
+    # Scratch release (round-7 diagnosis): the two persisted frames above
+    # were session leaks — every call left its shingle + prefix caches in
+    # the cache registry forever, and the accumulated storage blocks
+    # inflated the *next* memory-hungry operator in a long session 3-5x
+    # (bench: 3.75 s isolated vs 20.4 s after a suite prefix, back to
+    # 4.4 s after clearCache).  Eagerly materialize the compact verified
+    # pair set (duplicate pairs are O(dup-rate x docs), tiny next to the
+    # corpus), then drop the scratch; the checkpoint's own blocks are
+    # GC-managed, not registry-pinned.
+    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    prefix.unpersist()
     return out
 
 
@@ -261,7 +272,12 @@ def minhash_lsh_duplicates(
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
     )
-    return _verified_jaccard_pairs(cand, sh, threshold)
+    # eager result + scratch release — see ngram_jaccard_duplicates (the
+    # persisted shingle frame must not outlive the call in the session's
+    # cache registry)
+    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 #: bits in the SQL-portable token hash (15 hex digits of md5 -> 60 bits);
