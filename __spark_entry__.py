@@ -780,19 +780,26 @@ def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 50th doc plays the held-out benchmark; a training doc is
     flagged with the count of its distinct 13-gram shingles that occur
     anywhere in the benchmark (hits come from the corpus's planted
-    near-duplicates).  Benchmark shingles broadcast; the corpus is
-    never shuffled."""
-    return _decontaminate(spark, sf_dir, broadcast=True)
+    near-duplicates).
+
+    BOTH physical plans run and are hash-checked here (round-6 verdict
+    #5), labeled by a ``path`` column: ``broadcast`` (benchmark
+    shingles broadcast, the corpus never shuffled) and ``shuffle`` (the
+    equi-join fallback — the REAL 100 TB path when the benchmark suite
+    itself is too big to broadcast).  The oracle emits the same result
+    under both labels, so a hash match proves the two plans byte-agree
+    with each other AND with the independent SQL semantics, inside one
+    driver entry (the driver artifact caps at 50 oracle rows)."""
+    bc = _decontaminate(spark, sf_dir, broadcast=True)
+    sh = _decontaminate(spark, sf_dir, broadcast=False)
+    return bc.withColumn("path", F.lit("broadcast")).unionByName(
+        sh.withColumn("path", F.lit("shuffle"))
+    )
 
 
 def _q_docs_decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``broadcast=False`` twin of ``docs_decontaminate`` — the
-    shuffle equi-join fallback that is the REAL 100 TB path when the
-    benchmark suite itself is too big to broadcast
-    (operators/decontaminate.py).  Round-6 verdict #5: this physical
-    plan was pytest-parity-tested but had no driver oracle row; same
-    semantics, same oracle SQL, so the hash check proves the two plans
-    byte-agree end-to-end."""
+    """Shuffle-plan-only helper (bench.py times each physical path
+    separately); the driver entry above hash-checks both."""
     return _decontaminate(spark, sf_dir, broadcast=False)
 
 
@@ -1525,7 +1532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_chunks": _q_docs_pack_chunks,
         "docs_c4_filter": _q_docs_c4_filter,
         "docs_decontaminate": _q_docs_decontaminate,
-        "docs_decontaminate_shuffle": _q_docs_decontaminate_shuffle,
         # --- similarity search ---
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -2181,11 +2187,15 @@ sh AS (
   FROM toks, LATERAL UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS u(i)
   WHERE len(tk) >= {DECON_N}
 ),
-bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
-SELECT s.doc_id, COUNT(*) AS n_contaminated
-FROM sh s JOIN bench b USING (g)
-WHERE s.doc_id % 50 <> 0
-GROUP BY 1
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+res AS (
+  SELECT s.doc_id, COUNT(*) AS n_contaminated
+  FROM sh s JOIN bench b USING (g)
+  WHERE s.doc_id % 50 <> 0
+  GROUP BY 1
+)
+SELECT r.doc_id, r.n_contaminated, p.path
+FROM res r CROSS JOIN (SELECT 'broadcast' AS path UNION ALL SELECT 'shuffle') p
 """,
         "point_in_polygon": f"""
 WITH {_INSTANCES_CTE},
@@ -2455,8 +2465,4 @@ GROUP BY cell_x, cell_y
     # the drained stream-stream join must equal the batch spatiotemporal
     # pair set exactly — same oracle by construction
     out["st_pairs_stream_backfill"] = out["spatiotemporal_pairs"]
-    # broadcast=True and broadcast=False are the same logical join — the
-    # shuffle fallback (the real 100 TB path when the benchmark suite is
-    # too big to broadcast) must hash-match the broadcast plan's oracle
-    out["docs_decontaminate_shuffle"] = out["docs_decontaminate"]
     return out

@@ -30,11 +30,14 @@ BENCH_MIN_PREV = 0.1
 
 # hard-mode ANN knobs (uniform 100k x 64d corpus; see the sweep table in
 # BENCH/BASELINE.md — these sit at the measured knee where recall lands
-# in [0.9, 1.0) so the floor is binding but passed)
-ANN_HARD_LSH_R = 8
+# in [0.9, 1.0) so the floor is binding but passed: LSH r=10/b=64/mp
+# measures 0.996 (r=8/b=64/mp saturates at 1.0 and costs 4x the wall;
+# mp=False craters to 0.849); IVF C=64/probe=48 measures 0.973
+# (probe=32 -> 0.88 and probe=24 -> 0.794 fail the floor)
+ANN_HARD_LSH_R = 10
 ANN_HARD_LSH_BANDS = 64
 ANN_HARD_IVF_CENTROIDS = 64
-ANN_HARD_IVF_PROBE = 24
+ANN_HARD_IVF_PROBE = 48
 
 
 def _scaling_artifact() -> dict:
