@@ -54,6 +54,69 @@ T1_REF = float(os.environ.get("SPARK_GRAFT_CTL_T1_REF", "2.45"))
 #: mean (SMT/turbo); observed waves sit at +30..+145%.
 ABS_TOL = float(os.environ.get("SPARK_GRAFT_CTL_ABS_TOL", "0.25"))
 
+#: healthy single-process streaming-read bandwidth on this box
+#: (round-6 measurement: 9.8 GB/s per process at 1, 2 and 8 procs,
+#: 73 GB/s aggregate at 8).  The register-bound burn CANNOT witness a
+#: bandwidth-starved window: round 7 observed legs 20-53% over their
+#: steady floors between two fully-clean burn controls while a numpy
+#: streaming probe measured 2.0-4.9 GB/s — the hypervisor was
+#: withholding memory bandwidth, not cycles, and memory-heavy Spark
+#: stages starve while pure-register work runs at full speed.  A
+#: window is clean only if streaming bandwidth is also near healthy.
+BW_REF = float(os.environ.get("SPARK_GRAFT_CTL_BW_REF", "9.8"))
+
+#: healthy AGGREGATE streaming bandwidth at N concurrent processes:
+#: per-process rate holds at ~9.8 up to the ~73 GB/s socket ceiling
+#: (round-6 control).  The aggregate is what an N-wide Spark stage
+#: actually competes for — round-7 measured 1-proc 7.5 GB/s (looks
+#: near-healthy) while the 8-proc aggregate was 37.8 GB/s (0.52x the
+#: ceiling), exactly when 8-wide legs ran +45-53% over floor and
+#: 2-wide legs only +20%.
+BW_AGG_CEIL = float(os.environ.get("SPARK_GRAFT_CTL_BW_CEIL", "73.0"))
+
+#: min fraction of the healthy aggregate for a clean window.  Healthy
+#: samples sit at 0.9-1.05x; the round-7 starved state measured ~0.5x.
+BW_MIN_FRAC = float(os.environ.get("SPARK_GRAFT_CTL_BW_FRAC", "0.6"))
+
+
+def stream_bw(n: int = 75_000_000, passes: int = 2) -> float:
+    """Single-process streaming-read bandwidth (GB/s), best of
+    ``passes`` samples — a wave can only *lower* a sample, so the max
+    is the host's currently-deliverable capacity."""
+    import numpy as np
+
+    a = np.ones(n)
+    best = 0.0
+    for _ in range(passes):
+        t0 = time.time()
+        s = 0.0
+        for _ in range(3):
+            s += a.sum()
+        best = max(best, 3 * n * 8 / (time.time() - t0) / 1e9)
+    return best
+
+
+def _bw_ref(procs: int) -> float:
+    """Healthy aggregate bandwidth at ``procs`` concurrent streamers."""
+    return min(procs * BW_REF, BW_AGG_CEIL)
+
+
+def _spawn_bw(procs: int) -> list[float]:
+    """``procs`` concurrent subprocess streaming probes; per-child GB/s."""
+    children = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--bwone"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(procs)
+    ]
+    rates = []
+    for c in children:
+        out, _ = c.communicate()
+        rates.append(float(out.strip().splitlines()[-1]))
+    return rates
+
 
 def burn(n: int = BURN_N) -> float:
     """The witness workload: fixed register-bound integer work.
@@ -99,6 +162,9 @@ def control(procs: int = 8, n: int = BURN_N, tol: float | None = None) -> dict:
     # scaled reference: BURN_N overrides keep the absolute check valid
     t1_ref = T1_REF * (n / BURN_N)
     abs_slow = max(t1, mean_w) / t1_ref - 1.0
+    bw_each = _spawn_bw(procs)
+    bw_agg = sum(bw_each)
+    bw_ok = bw_agg >= BW_MIN_FRAC * _bw_ref(procs)
     return {
         "procs": procs,
         "t1_sec": round(t1, 3),
@@ -106,12 +172,17 @@ def control(procs: int = 8, n: int = BURN_N, tol: float | None = None) -> dict:
         "wide_max_sec": round(max(wide), 3),
         "overhead": round(overhead, 3),
         "abs_slowdown": round(abs_slow, 3),
+        "bw_agg_GBps": round(bw_agg, 1),
+        "bw_ref_GBps": round(_bw_ref(procs), 1),
+        "bw_ok": bw_ok,
         "tol": tol,
         "abs_tol": ABS_TOL,
-        # both tests must pass: relative (the wide work gets full
-        # per-core speed) AND absolute (the host is at healthy speed at
-        # all — a wave can inflate t1 and mask itself in the ratio)
-        "clean": overhead <= tol and abs_slow <= ABS_TOL,
+        # all three must pass: relative (the wide work gets full
+        # per-core speed), absolute (the host is at healthy speed at
+        # all — a wave can inflate t1 and mask itself in the ratio),
+        # and bandwidth (a starved memory bus slows Spark 20-50% while
+        # register-bound burns read clean — see BW_REF note)
+        "clean": overhead <= tol and abs_slow <= ABS_TOL and bw_ok,
         "ts": round(time.time(), 1),
     }
 
@@ -119,6 +190,9 @@ def control(procs: int = 8, n: int = BURN_N, tol: float | None = None) -> dict:
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--burn":
         print(burn(int(sys.argv[2])))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--bwone":
+        print(stream_bw())
         return
     procs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     print(json.dumps(control(procs)))
