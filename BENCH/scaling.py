@@ -140,6 +140,32 @@ LAUNCH_ABS_TOL = float(os.environ.get("SPARK_GRAFT_LAUNCH_ABS_TOL", "0.35"))
 PAUSE_FILE = os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "/tmp/scaling_pause")
 
 
+def decide_acceptance(
+    pre_clean: bool, post_clean: bool, wall: float, witness_ref: float | None,
+    witness_tol: float = None,
+) -> tuple[bool, str]:
+    """Pure acceptance rule for one measured leg (unit-tested in
+    tests/test_scaling_harness.py — a silent regression here would
+    corrupt every future measurement round).
+
+    Accept iff (both bracketing controls clean) OR (the wall
+    self-witnesses: within ``witness_tol`` of the workload's historical
+    steady floor — waves only inflate compute walls, so a steady-floor
+    wall cannot contain one).  ``witness_ref=None`` (non-default
+    workload) disables the witness path entirely."""
+    if witness_tol is None:
+        witness_tol = WITNESS_TOL
+    if pre_clean and post_clean:
+        return True, "both controls clean"
+    bound = witness_ref * (1.0 + witness_tol) if witness_ref else None
+    if bound is not None and wall <= bound:
+        return True, (
+            f"witness wall {wall} <= {round(bound, 1)} "
+            f"(historical steady floor +{witness_tol:.0%})"
+        )
+    return False, "post-control dirty, wall not at steady floor"
+
+
 def _gated_leg(cpus: int, ctl_procs: int) -> dict:
     """One measurement attempt: pure-compute control -> leg -> control.
 
@@ -175,19 +201,12 @@ def _gated_leg(cpus: int, ctl_procs: int) -> dict:
     attempt["ctl_post"] = control(ctl_procs)
     wall = attempt["run"]["wall_sec"]
     ref = WITNESS_REF.get(cpus)
-    witnessed = ref is not None and wall <= ref * (1.0 + WITNESS_TOL)
     attempt["witness_ref_sec"] = ref
     attempt["witness_bound_sec"] = round(ref * (1.0 + WITNESS_TOL), 1) if ref else None
-    if pre["clean"] and attempt["ctl_post"]["clean"]:
-        attempt.update(accepted=True, reason="both controls clean")
-    elif witnessed:
-        attempt.update(
-            accepted=True,
-            reason=f"witness wall {wall} <= {attempt['witness_bound_sec']} "
-            f"(historical steady floor +{WITNESS_TOL:.0%})",
-        )
-    else:
-        attempt.update(accepted=False, reason="post-control dirty, wall not at steady floor")
+    accepted, reason = decide_acceptance(
+        pre["clean"], attempt["ctl_post"]["clean"], wall, ref
+    )
+    attempt.update(accepted=accepted, reason=reason)
     return attempt
 
 

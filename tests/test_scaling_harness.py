@@ -1,0 +1,116 @@
+"""Unit tests for the wave-aware scaling harness's pure logic.
+
+The campaign's acceptance rule decides which walls enter the
+north-rule record (BENCH/scaling.py::decide_acceptance); a silent
+regression there would corrupt every future measurement round, so the
+rule's decision table is pinned here.  No Spark, no subprocesses —
+pure-logic tests only (the heavy path is exercised by the campaign
+itself, whose artifacts embed every decision).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(_BENCH, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, _BENCH)  # scaling.py imports its sibling `control`
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(_BENCH)
+    return mod
+
+
+scaling = _load("scaling")
+
+
+# The default workload must keep its witness anchors: they are the
+# historical steady floors measured across rounds 2-6 (BASELINE.md
+# throughput table) and the witness path is only sound against them.
+def test_default_workload_has_witness_refs():
+    assert scaling.WITNESS_REF == {2: 350.8, 8: 96.1, 32: 44.0}
+    assert 0.0 < scaling.WITNESS_TOL <= 0.15
+
+
+@pytest.mark.parametrize(
+    "pre,post,wall,ref,expect",
+    [
+        # the strict sandwich path: both controls clean accepts any wall
+        (True, True, 500.0, 96.1, True),
+        (True, True, 100.0, None, True),
+        # witness path: steady-floor wall survives a dirty post-control
+        (True, False, 100.0, 96.1, True),   # 100 <= 96.1*1.12
+        (False, False, 100.0, 96.1, True),  # even a dirty launch window
+        # witness bound is exclusive above tol
+        (True, False, 108.0, 96.1, False),  # 108 > 107.6
+        (True, False, 141.0, 96.1, False),  # the observed micro-wave case
+        # no witness ref (non-default workload): sandwich only
+        (True, False, 1.0, None, False),
+        (False, True, 1.0, None, False),
+    ],
+)
+def test_acceptance_decision_table(pre, post, wall, ref, expect):
+    accepted, reason = scaling.decide_acceptance(pre, post, wall, ref, 0.12)
+    assert accepted is expect, reason
+    if accepted and not (pre and post):
+        assert "witness" in reason
+    if accepted and pre and post:
+        assert reason == "both controls clean"
+
+
+def test_witness_bound_matches_reason_text():
+    accepted, reason = scaling.decide_acceptance(True, False, 107.0, 96.1, 0.12)
+    assert accepted and "107.6" in reason
+
+
+# The round-7 campaign artifact this harness produced: pin its shape so
+# a refactor cannot silently drop the evidence fields the record cites.
+def test_campaign_artifact_shape_and_consistency():
+    path = os.path.join(_BENCH, "scaling_last_2_8.json")
+    with open(path) as f:
+        s = json.load(f)
+    assert s["passes_north_rule"] is True
+    assert s["scaling_efficiency"] == round((s["t2_sec"] / s["t8_sec"]) / 4, 3)
+    assert s["t2_sec"] == min(s["accepted_runs_2"])
+    assert s["t8_sec"] == min(s["accepted_runs_8"])
+    assert s["witness_refs_sec"] == {"2": 350.8, "8": 96.1, "32": 44.0}
+    for att in s["attempts"]:
+        assert "ctl_pre" in att and "accepted" in att and "reason" in att
+        if att["accepted"]:
+            run = att["run"]
+            ctl_ok = att["ctl_pre"]["clean"] and att["ctl_post"]["clean"]
+            ref = att.get("witness_ref_sec")
+            witnessed = ref is not None and run["wall_sec"] <= ref * (1 + s["witness_tol"])
+            assert ctl_ok or witnessed, att["reason"]
+
+
+def test_control_clean_requires_all_three_checks():
+    control = _load("control")
+    # the clean verdict must compose relative overhead, absolute wall,
+    # and aggregate bandwidth — reconstruct it from a control dict
+    sample = {
+        "overhead": 0.05, "abs_slowdown": 0.10, "bw_ok": True,
+        "tol": 0.12, "abs_tol": 0.25,
+    }
+
+    def verdict(d):
+        return d["overhead"] <= d["tol"] and d["abs_slowdown"] <= d["abs_tol"] and d["bw_ok"]
+
+    assert verdict(sample)
+    assert not verdict({**sample, "overhead": 0.2})
+    assert not verdict({**sample, "abs_slowdown": 0.3})
+    assert not verdict({**sample, "bw_ok": False})
+    # and the module constants feeding bw_ok are the calibrated ones
+    assert control.BW_MIN_FRAC == pytest.approx(0.6)
+    assert control._bw_ref(8) == pytest.approx(73.0)
+    assert control._bw_ref(2) == pytest.approx(19.6)
