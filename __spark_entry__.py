@@ -1098,7 +1098,22 @@ def _q_corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = dedup.minhash_lsh_duplicates(docs, threshold=MINHASH_T, n=2).select(
         "a_id", "b_id"
     )
-    return dedup.dedup_membership(docs, exact.unionByName(near))
+    allp = exact.unionByName(near)
+    base = dedup.dedup_membership(docs, allp)
+    # quality-keep policy (r07): representative = longest member (token
+    # count, min-id tie-break) — the policy real pipelines run; same
+    # components, different survivor, hash-checked side by side
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.text import (
+        token_count,
+    )
+
+    docs_q = docs.withColumn("_q", token_count(F.col("text")))
+    qual = dedup.dedup_membership(docs_q, allp, score_col="_q").select(
+        "doc_id",
+        F.col("kept").alias("kept_q"),
+        F.col("n_dropped").alias("n_dropped_q"),
+    )
+    return base.join(qual, "doc_id")
 
 
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,15 +1796,27 @@ comp(id, lab) AS (
   SELECT e.t, c.lab FROM comp c JOIN adjg e ON e.s = c.id
 ),
 grp AS (SELECT id, MIN(lab) AS lab FROM comp GROUP BY id),
-gsz AS (SELECT lab, COUNT(*) - 1 AS extra FROM grp GROUP BY lab)
+gsz AS (SELECT lab, COUNT(*) - 1 AS extra FROM grp GROUP BY lab),
+repq AS (
+  SELECT lab, id AS rep_id FROM (
+    SELECT g.lab, g.id,
+           ROW_NUMBER() OVER (PARTITION BY g.lab
+                              ORDER BY len(t.toks) DESC, g.id ASC) AS rn
+    FROM grp g JOIN doctok t ON t.doc_id = g.id
+  ) WHERE rn = 1
+)
 SELECT d.doc_id,
        COALESCE(g.lab, d.doc_id) AS group_id,
        (g.id IS NULL OR g.lab = d.doc_id) AS kept,
        CAST(CASE WHEN g.id IS NOT NULL AND g.lab = d.doc_id
-                 THEN z.extra ELSE 0 END AS BIGINT) AS n_dropped
+                 THEN z.extra ELSE 0 END AS BIGINT) AS n_dropped,
+       (g.id IS NULL OR g.id = r.rep_id) AS kept_q,
+       CAST(CASE WHEN g.id IS NOT NULL AND g.id = r.rep_id
+                 THEN z.extra ELSE 0 END AS BIGINT) AS n_dropped_q
 FROM documents d
 LEFT JOIN grp g ON g.id = d.doc_id
 LEFT JOIN gsz z ON z.lab = g.lab
+LEFT JOIN repq r ON r.lab = g.lab
 """,
         "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
         "dedup_simhash": _simhash_oracle_sql(),

@@ -474,7 +474,10 @@ def duplicate_groups(
 
 
 def dedup_membership(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Full-corpus dedup verdict: one row per input doc with its duplicate
     group and the keep/drop decision a pipeline acts on.
@@ -484,22 +487,50 @@ def dedup_membership(
     - ``id_col``: the doc id;
     - ``group_id``: connected-component label of the duplicate graph
       (min id of the component; a doc with no duplicates is its own group);
-    - ``kept``: true iff this doc is its group's representative
-      (``id == group_id``) — the row the deduplicated corpus retains;
+    - ``kept``: true iff this doc is its group's representative —
+      the row the deduplicated corpus retains;
     - ``n_dropped``: for kept rows, how many other docs collapsed into
       this representative (0 for unique docs); always 0 for dropped rows.
+
+    Representative policy: min id by default.  With ``score_col`` the
+    representative is the group member with the HIGHEST score (min id
+    tie-break) — the policy real training-data pipelines run, keeping
+    the longest / highest-quality member of a near-dup cluster rather
+    than an arbitrary one.  ``docs`` must then carry ``score_col``.
 
     Scale shape: ``duplicate_groups`` is O(log n) star-contraction rounds;
     the membership join is one broadcast-or-shuffle hash join on the doc
     id (group output is bounded by docs appearing in >= 1 duplicate pair,
-    typically a small fraction of the corpus).
+    typically a small fraction of the corpus).  The quality policy adds
+    one partial-aggregated ``max(struct)`` per group — map-side combined,
+    no window sort.
     """
     groups = duplicate_groups(pairs).withColumnRenamed("doc_id", id_col)
     sizes = groups.groupBy("group_id").agg(
         (F.count("*") - F.lit(1)).cast("long").alias("_grp_extra")
     )
     g = groups.join(sizes, "group_id")
-    kept = F.col("group_id").isNull() | (F.col(id_col) == F.col("group_id"))
+    if score_col is None:
+        kept = F.col("group_id").isNull() | (F.col(id_col) == F.col("group_id"))
+    else:
+        # argmax(score, tie-break min id) per component: max over
+        # (score, -id) structs — a partial-aggregable one-pass reduce,
+        # deterministic for any score type with total ordering
+        reps = (
+            groups.join(docs.select(id_col, score_col), id_col)
+            .groupBy("group_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(score_col).alias("_s"),
+                        (-F.col(id_col)).alias("_nid"),
+                    )
+                ).alias("_best")
+            )
+            .select("group_id", (-F.col("_best._nid")).alias("_rep_id"))
+        )
+        g = g.join(reps, "group_id")
+        kept = F.col("group_id").isNull() | (F.col(id_col) == F.col("_rep_id"))
     return (
         docs.select(id_col)
         .join(g, id_col, "left")
@@ -516,11 +547,15 @@ def dedup_membership(
 
 
 def apply_dedup(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Materialize the DEDUPLICATED corpus — the action a pipeline user
     actually runs over pairwise dedup output (round-5 verdict #2): keep
-    each duplicate group's representative (min id, transitively closed, so
+    each duplicate group's representative (min id by default, or
+    highest-``score_col`` with min-id tie-break — transitively closed, so
     A~B, B~C collapses all three even when A,C were never a pair) plus
     every doc with no duplicates.
 
@@ -528,7 +563,9 @@ def apply_dedup(
     column (how many duplicates this row absorbed).  One hash join against
     the (small) membership table on top of the component machinery.
     """
-    m = dedup_membership(docs, pairs, id_col=id_col).filter("kept")
+    m = dedup_membership(docs, pairs, id_col=id_col, score_col=score_col).filter(
+        "kept"
+    )
     return docs.join(
         m.select(id_col, "n_dropped"), id_col, "inner"
     )

@@ -284,6 +284,44 @@ def test_dedup_membership_and_apply(spark):
     assert {r.text for r in surv} == {"doc 1", "doc 7", "doc 10"}
 
 
+def test_dedup_membership_quality_policy(spark):
+    """score_col keeps the highest-scoring member (min-id tie-break)
+    instead of the min id — the longest/highest-quality-survivor policy
+    real pipelines run (r07)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark, [(i, f"doc {i}") for i in (1, 2, 3, 7, 10, 11)]
+    ).withColumn(
+        "score",
+        # group {1,2,3}: best is 3; group {10,11}: tie -> min id 10
+        F.element_at(
+            F.create_map(
+                F.lit(1), F.lit(5), F.lit(2), F.lit(4), F.lit(3), F.lit(9),
+                F.lit(7), F.lit(0), F.lit(10), F.lit(2), F.lit(11), F.lit(2),
+            ),
+            F.col("doc_id").cast("int"),
+        ),
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    m = {
+        r.doc_id: (r.group_id, r.kept, r.n_dropped)
+        for r in dedup.dedup_membership(docs, pairs, score_col="score").collect()
+    }
+    assert m == {
+        1: (1, False, 0),
+        2: (1, False, 0),
+        3: (1, True, 2),   # highest score wins over min id
+        7: (7, True, 0),
+        10: (10, True, 1),  # score tie -> min id
+        11: (10, False, 0),
+    }
+    surv = dedup.apply_dedup(docs, pairs, score_col="score").collect()
+    assert {r.doc_id for r in surv} == {3, 7, 10}
+
+
 def test_bpe_token_count_hand_cases(spark):
     # "hello" = 1 run of 5 -> ceil(5/4) = 2 pieces; "world!" -> run(5)=2 + '!'=1
     # "12345678" -> ceil(8/4) = 2; CJK chars cost 1 each; empty -> 0
