@@ -502,8 +502,10 @@ def dedup_membership(
     the membership join is one broadcast-or-shuffle hash join on the doc
     id (group output is bounded by docs appearing in >= 1 duplicate pair,
     typically a small fraction of the corpus).  The quality policy adds
-    one partial-aggregated ``max(struct)`` per group — map-side combined,
-    no window sort.
+    one ``max(struct)`` per group — planned as a partial SortAggregate
+    (struct buffers don't hash-aggregate) so it is still map-side
+    combined before the group shuffle; no per-row Window over the
+    corpus, and the sort touches only the (small) grouped rows.
     """
     groups = duplicate_groups(pairs).withColumnRenamed("doc_id", id_col)
     sizes = groups.groupBy("group_id").agg(
