@@ -262,12 +262,15 @@ def main() -> None:
         # controls straddled (observed: t8 141 s between two clean
         # controls vs the 96-103 s floor).  Best-of-N converges the min
         # toward the steady floor, so keep sampling while budget lasts
-        # unless the demonstrated efficiency already clears the north
-        # rule — every attempt ships in the artifact either way.
+        # unless the demonstrated efficiency already clears the target
+        # (0.8 = north rule for 2->8; the 8->32 watcher sets 0.5 — that
+        # leg's healthy ceiling is 0.56-0.62 at the single-socket
+        # bandwidth wall).  Every attempt ships in the artifact.
         if all(len(accepted[c]) >= reps for c in (lo, hi)):
             t_lo = min(r["wall_sec"] for r in accepted[lo])
             t_hi = min(r["wall_sec"] for r in accepted[hi])
-            if (t_lo / t_hi) / (hi / lo) >= 0.8:
+            target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
+            if (t_lo / t_hi) / (hi / lo) >= target:
                 break
         if not att["accepted"]:
             time.sleep(window_sleep)  # let the wave pass
