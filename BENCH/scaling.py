@@ -120,9 +120,19 @@ def run_one(cpus: int) -> dict:
 #: leg that lands at its historical steady floor provably ran in a
 #: clean window — regardless of what the bracketing controls (taken
 #: minutes before/after) saw.  Witness refs are only defined for the
-#: default workload; env-overridden workloads fall back to the strict
-#: control-sandwich path.
-_DEFAULT_WORKLOAD = REP == 20 and D == 1.0 and MAX_K == 3
+#: default workload; ANY workload-affecting env override (input dir,
+#: replication, distance, plan, partitioning) falls back to the strict
+#: control-sandwich path — a smaller/faster workload would otherwise
+#: self-accept mid-wave walls against floors it has no relation to.
+_DEFAULT_WORKLOAD = (
+    REP == 20
+    and D == 1.0
+    and MAX_K == 3
+    and SF_DIR == "/root/testdata/sf0.1"
+    and os.environ.get("SPARK_GRAFT_SCALE_PLAN", "subtree") == "subtree"
+    and os.environ.get("SPARK_GRAFT_SHUFFLE", "64") == "64"
+    and not os.environ.get("SPARK_GRAFT_SCALE_EXTRA")
+)
 WITNESS_REF = {2: 350.8, 8: 96.1, 32: 44.0} if _DEFAULT_WORKLOAD else {}
 WITNESS_TOL = float(os.environ.get("SPARK_GRAFT_WITNESS_TOL", "0.12"))
 
@@ -183,21 +193,40 @@ def _gated_leg(cpus: int, ctl_procs: int) -> dict:
 
     attempt: dict = {"cpus": cpus, "ctl_pre": control(ctl_procs)}
     pre = attempt["ctl_pre"]
+    # marginal-compute launches are worth the gamble (the wall decides),
+    # but a bandwidth-starved window is a measured no-go: legs run
+    # 20-50% slow there and cannot witness, so launching is a
+    # guaranteed-rejected 4-7 minutes
     launchable = pre["clean"] or (
-        pre["overhead"] <= pre["tol"] and pre["abs_slowdown"] <= LAUNCH_ABS_TOL
+        pre["overhead"] <= pre["tol"]
+        and pre["abs_slowdown"] <= LAUNCH_ABS_TOL
+        and pre.get("bw_ok", True)
     )
     if not launchable:
         attempt.update(run=None, accepted=False, reason="pre-control dirty")
         return attempt
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=3600,
-    )
-    attempt["run"] = json.loads(out.stdout.strip().splitlines()[-1])
+    out = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        attempt["run"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError) as exc:
+        # a dead/hung leg is a rejected attempt, not a campaign abort —
+        # hours of accumulated evidence must still reach the artifact
+        stderr = out.stderr if out is not None else getattr(exc, "stderr", None)
+        attempt.update(
+            run=None,
+            accepted=False,
+            reason=f"leg subprocess failed: {type(exc).__name__}",
+            leg_stderr=(stderr or "")[-2000:] or None,
+        )
+        return attempt
     attempt["ctl_post"] = control(ctl_procs)
     wall = attempt["run"]["wall_sec"]
     ref = WITNESS_REF.get(cpus)
@@ -243,10 +272,15 @@ def main() -> None:
         cpus = hi if len(accepted[hi]) <= len(accepted[lo]) else lo
         if len(accepted[cpus]) >= reps:
             cpus = hi if cpus == lo else lo
-        if all(len(accepted[c]) >= reps for c in (lo, hi)) and WITNESS_REF:
+        if (
+            all(len(accepted[c]) >= reps for c in (lo, hi))
+            and lo in WITNESS_REF
+            and hi in WITNESS_REF
+        ):
             # both levels sampled: spend remaining budget on whichever
             # leg sits furthest above its steady floor — that is the
-            # one distorting the efficiency figure
+            # one distorting the efficiency figure (levels without a
+            # calibrated floor keep plain alternation)
             def _gap(c):
                 return min(r["wall_sec"] for r in accepted[c]) / WITNESS_REF[c]
 

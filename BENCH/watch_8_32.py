@@ -34,8 +34,10 @@ def main() -> None:
     bench_dir = os.path.dirname(os.path.abspath(__file__))
     log = os.path.join(bench_dir, "watch_8_32_probes.jsonl")
     while time.time() < deadline:
-        while os.path.exists(PAUSE_FILE):
+        while os.path.exists(PAUSE_FILE) and time.time() < deadline:
             time.sleep(30)
+        if time.time() >= deadline:
+            break
         c = control(32)
         with open(log, "a") as f:
             f.write(json.dumps(c) + "\n")

@@ -1099,21 +1099,16 @@ def _q_corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     allp = exact.unionByName(near)
-    base = dedup.dedup_membership(docs, allp)
     # quality-keep policy (r07): representative = longest member (token
     # count, min-id tie-break) — the policy real pipelines run; same
-    # components, different survivor, hash-checked side by side
+    # components, different survivor, hash-checked side by side.  One
+    # connected-components pass serves both verdicts (both_policies).
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.text import (
         token_count,
     )
 
     docs_q = docs.withColumn("_q", token_count(F.col("text")))
-    qual = dedup.dedup_membership(docs_q, allp, score_col="_q").select(
-        "doc_id",
-        F.col("kept").alias("kept_q"),
-        F.col("n_dropped").alias("n_dropped_q"),
-    )
-    return base.join(qual, "doc_id")
+    return dedup.dedup_membership(docs_q, allp, score_col="_q", both_policies=True)
 
 
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

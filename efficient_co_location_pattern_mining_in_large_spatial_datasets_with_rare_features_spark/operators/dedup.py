@@ -478,6 +478,7 @@ def dedup_membership(
     pairs: DataFrame,
     id_col: str = "doc_id",
     score_col: str | None = None,
+    both_policies: bool = False,
 ) -> DataFrame:
     """Full-corpus dedup verdict: one row per input doc with its duplicate
     group and the keep/drop decision a pipeline acts on.
@@ -497,6 +498,11 @@ def dedup_membership(
     tie-break) — the policy real training-data pipelines run, keeping
     the longest / highest-quality member of a near-dup cluster rather
     than an arbitrary one.  ``docs`` must then carry ``score_col``.
+    With ``both_policies=True`` (requires ``score_col``) the min-id
+    verdict fills ``kept``/``n_dropped`` and the quality verdict is
+    appended as ``kept_q``/``n_dropped_q`` — one connected-components
+    pass serves both (the expensive part is the iterative contraction,
+    not the verdicts).
 
     Scale shape: ``duplicate_groups`` is O(log n) star-contraction rounds;
     the membership join is one broadcast-or-shuffle hash join on the doc
@@ -507,14 +513,15 @@ def dedup_membership(
     combined before the group shuffle; no per-row Window over the
     corpus, and the sort touches only the (small) grouped rows.
     """
+    if both_policies and score_col is None:
+        raise ValueError("both_policies=True requires score_col")
     groups = duplicate_groups(pairs).withColumnRenamed("doc_id", id_col)
     sizes = groups.groupBy("group_id").agg(
         (F.count("*") - F.lit(1)).cast("long").alias("_grp_extra")
     )
     g = groups.join(sizes, "group_id")
-    if score_col is None:
-        kept = F.col("group_id").isNull() | (F.col(id_col) == F.col("group_id"))
-    else:
+    kept_min = F.col("group_id").isNull() | (F.col(id_col) == F.col("group_id"))
+    if score_col is not None:
         # argmax(score, tie-break min id) per component: max over
         # (score, -id) structs — a partial-aggregable one-pass reduce,
         # deterministic for any score type with total ordering
@@ -532,20 +539,26 @@ def dedup_membership(
             .select("group_id", (-F.col("_best._nid")).alias("_rep_id"))
         )
         g = g.join(reps, "group_id")
-        kept = F.col("group_id").isNull() | (F.col(id_col) == F.col("_rep_id"))
-    return (
-        docs.select(id_col)
-        .join(g, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
-            kept.alias("kept"),
-            F.when(kept, F.coalesce("_grp_extra", F.lit(0)))
+        kept_qual = F.col("group_id").isNull() | (F.col(id_col) == F.col("_rep_id"))
+    kept = kept_min if score_col is None or both_policies else kept_qual
+
+    def _verdict(k, name_kept, name_drop):
+        return [
+            k.alias(name_kept),
+            F.when(k, F.coalesce("_grp_extra", F.lit(0)))
             .otherwise(F.lit(0))
             .cast("long")
-            .alias("n_dropped"),
-        )
-    )
+            .alias(name_drop),
+        ]
+
+    cols = [
+        F.col(id_col),
+        F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+        *_verdict(kept, "kept", "n_dropped"),
+    ]
+    if both_policies:
+        cols += _verdict(kept_qual, "kept_q", "n_dropped_q")
+    return docs.select(id_col).join(g, id_col, "left").select(*cols)
 
 
 def apply_dedup(

@@ -165,7 +165,7 @@ def pack_chunks(
     )
     first = F.expr("offset div " + str(seq_len))
     last = F.expr(f"(offset + greatest(_t, 1L) - 1L) div {seq_len}")
-    return offs.select(
+    out = offs.select(
         F.col("_k").alias(order_col),
         F.col("_t").alias(tokens_col),
         F.col("offset").cast("long").alias("offset"),
@@ -173,3 +173,12 @@ def pack_chunks(
         last.cast("long").alias("chunk_last"),
         (last - first + F.lit(1)).cast("long").alias("n_chunks"),
     )
+    # Eagerly checkpoint the result so the bucketed scratch is not
+    # pinned as the lazy plan's parent for the result's whole lifetime:
+    # once the output rows are frozen, the scratch RDD becomes
+    # unreachable and the ContextCleaner frees its blocks on the next
+    # driver GC (the dedup scratch-leak lesson, adapted — scratch here
+    # is GC-managed localCheckpoint blocks, not registry-held persists,
+    # so dropping the last reference IS the release).  The extra job is
+    # cheap: it reads the frozen skinny rows, never the source.
+    return out.localCheckpoint(eager=True)
