@@ -481,6 +481,32 @@ def _q_mine_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
 
 
+def _q_mine_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH mining physical plans (level-wise `mine` and Algorithm-3
+    per-subtree `mine_subtrees`) hash-checked side by side against ONE
+    brute-force clique oracle, labeled by a ``plan`` column.
+
+    Round-8 consolidation: subsumes the former ``colocation_mine_full``
+    and ``colocation_mine_subtree`` entries (identical schema, identical
+    oracle SQL) into one entry, freeing an oracle slot under the
+    driver's 50-entry cap for ``dedup_incremental`` — plan-equivalence
+    coverage is unchanged (arguably stronger: one hash now proves the
+    two plans agree row for row *and* match the oracle)."""
+    rows = []
+    for plan, method in (("full", "mine"), ("subtree", "mine_subtrees")):
+        inst = instances_from_events(spark, sf_dir)
+        miner = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV))
+        res = getattr(miner, method)(inst)
+        assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
+        rows += [
+            (plan, ",".join(p), len(p), round(res.wpi[p], 9))
+            for p in sorted(res.patterns, key=lambda p: (len(p), p))
+        ]
+    return spark.createDataFrame(
+        rows or [], "plan string, pattern string, size int, wpi double"
+    )
+
+
 def _q_images_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.sources.image_table import (
         derive_instances,
@@ -1111,6 +1137,26 @@ def _q_corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_membership(docs_q, allp, score_col="_q", both_policies=True)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new shard against a stored corpus index
+    (operators/dedup.py::incremental_duplicates + dedup_incremental):
+    the corpus splits into a base (doc_id % 4 != 3) whose MinHash band
+    table and membership verdict were "persisted by a prior run", and a
+    new shard (doc_id % 4 = 3) that is signed, probed against the stored
+    bands, and folded into the verdict without recomputing base
+    signatures or base-only components.  The oracle recomputes the
+    recursive closure from scratch over the UNION — hash-green means the
+    incremental path is exactly equivalent to a full re-run."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter("doc_id % 4 != 3")
+    new = docs.filter("doc_id % 4 = 3")
+    base_pairs = dedup.minhash_lsh_duplicates(base, threshold=MINHASH_T)
+    base_m = dedup.dedup_membership(base, base_pairs)
+    bands = dedup.minhash_band_table(base)
+    new_pairs = dedup.incremental_duplicates(new, base, bands, threshold=MINHASH_T)
+    return dedup.dedup_incremental(base_m, new, new_pairs)
+
+
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi*-style per-cell hotspot z-scores over the tile grid.
 
@@ -1509,8 +1555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_delta": _q_delta,
         "star_edges": _q_star_edges,
         "prevalent_k2": _q_prevalent_k2,
-        "colocation_mine_full": _q_mine_full,
-        "colocation_mine_subtree": _q_mine_subtree,
+        # r08: one entry checks BOTH physical plans against one oracle
+        # (labeled rows; replaces the separate full/subtree entries to
+        # stay under the driver's 50-oracle cap with dedup_incremental)
+        "colocation_mine_plans": _q_mine_plans,
         "images_derive": _q_images_derive,
         # --- spatial / tiling ---
         "cell_id_assign": _q_cell_id,
@@ -1531,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "corpus_dedup_apply": _q_corpus_dedup_apply,
+        "dedup_incremental": _q_dedup_incremental,
         "phash_dupes_static": _q_phash_dupes_static,
         "text_stats": _q_text_stats,
         "text_signals": _q_text_signals,
@@ -1742,8 +1791,14 @@ wpi AS (
 )
 SELECT f1, f2, ROUND(wpi, 9) AS wpi FROM wpi WHERE wpi >= {MIN_PREV!r}
 """,
-        "colocation_mine_full": _mine_full_oracle_sql(),
-        "colocation_mine_subtree": _mine_full_oracle_sql(),
+        # the identical brute-force oracle rows, replicated under both plan
+        # labels (the engine side runs two genuinely different physical
+        # plans; the oracle's truth is plan-independent)
+        "colocation_mine_plans": f"""
+SELECT l.plan, base.pattern, base."size", base.wpi
+FROM ({_mine_full_oracle_sql()}) base
+CROSS JOIN (SELECT UNNEST(['full', 'subtree']) AS plan) l
+""",
         "images_derive": f"""
 WITH {_INSTANCES_CTE}
 SELECT * FROM instances WHERE CAST(string_split(id, '#')[2] AS BIGINT) % 7 = 0
@@ -1814,6 +1869,33 @@ LEFT JOIN gsz z ON z.lab = g.lab
 LEFT JOIN repq r ON r.lab = g.lab
 """,
         "dedup_minhash_lsh": _exact_jaccard_sql(MINHASH_T),
+        # from-scratch recursive closure over the UNION corpus — the
+        # incremental engine path (stored base bands + shard probe +
+        # super-node contraction) must land on the identical verdict
+        "dedup_incremental": f"""
+WITH RECURSIVE {_DOCTOK_CTE}, {_SHINGLES_CTE}, {_jaccard_pairs_cte(MINHASH_T)},
+adjg AS (
+  SELECT a_id AS s, b_id AS t FROM dup
+  UNION ALL
+  SELECT b_id AS s, a_id AS t FROM dup
+),
+nodes AS (SELECT DISTINCT s AS id FROM adjg),
+comp(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.t, c.lab FROM comp c JOIN adjg e ON e.s = c.id
+),
+grp AS (SELECT id, MIN(lab) AS lab FROM comp GROUP BY id),
+gsz AS (SELECT lab, COUNT(*) - 1 AS extra FROM grp GROUP BY lab)
+SELECT d.doc_id,
+       COALESCE(g.lab, d.doc_id) AS group_id,
+       (g.id IS NULL OR g.lab = d.doc_id) AS kept,
+       CAST(CASE WHEN g.id IS NOT NULL AND g.lab = d.doc_id
+                 THEN z.extra ELSE 0 END AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN grp g ON g.id = d.doc_id
+LEFT JOIN gsz z ON z.lab = g.lab
+""",
         "dedup_simhash": _simhash_oracle_sql(),
         "phash_dupes_static": _phash_static_oracle_sql(),
         "text_stats": r"""

@@ -110,7 +110,12 @@ def decode_real(buf: bytes) -> tuple[np.ndarray, str]:
         px = np.asarray(img.convert("RGB"), dtype=np.uint8)
     except Exception as e:  # undecodable bytes: same error contract as fake
         raise ValueError(f"PIL could not decode payload: {e}") from e
-    return px, ("jpeg" if fmt in ("jpg", "jpeg") else fmt or "png")
+    # normalize to the documented {png, jpeg} contract: any other
+    # PIL-detected format (gif, webp, bmp, ...) decoded losslessly to RGB
+    # is reported as "png" — the lossless member of the contract — so a
+    # decode -> encode round-trip always re-encodes and downstream code
+    # branching on fmt never sees values outside the contract
+    return px, ("jpeg" if fmt in ("jpg", "jpeg") else "png")
 
 
 # ------------------------------------------------------------------ checks

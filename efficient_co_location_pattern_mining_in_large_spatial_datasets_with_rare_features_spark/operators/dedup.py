@@ -237,6 +237,54 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     return hashed.select("doc_id", sig_udf("hs").alias("sig"))
 
 
+def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys from (doc_id, sig) signatures.
+
+    One 8-byte hash per band of ``num_hashes // bands`` signature rows;
+    empty signatures (shingle-less docs) are excluded.  Band keys are a
+    pure per-doc function of the text, so a stored band table composes
+    with freshly computed ones (the incremental-dedup contract)."""
+    rows = num_hashes // bands
+    return (
+        sigs.filter(F.size("sig") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows + 1, rows)
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.bh")
+    )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Durable LSH index of a corpus: (doc_id, band, bh), one row per
+    (doc, band).  This is the "stored signatures" artifact a pipeline
+    persists (e.g. as a bucketed table on ``bh``) so future shards can be
+    deduplicated against the corpus WITHOUT recomputing its signatures —
+    see ``incremental_duplicates``.  Skinny by construction: 32 rows of
+    (id, int, int64) per doc regardless of document length."""
+    return _band_keys(
+        minhash_signatures(docs, n=n, text_col=text_col, num_hashes=num_hashes),
+        num_hashes,
+        bands,
+    )
+
+
 def minhash_lsh_duplicates(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -250,21 +298,9 @@ def minhash_lsh_duplicates(
     Output contract (same as ngram_jaccard_duplicates): pairs with exact
     word-n-gram Jaccard >= threshold; LSH is the candidate generator.
     """
-    rows = num_hashes // bands
     sh = _shingles(docs, text_col, n).persist()
     sigs = _minhash_from_shingles(sh, num_hashes)
-    banded = sigs.filter(F.size("sig") > 0).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
+    banded = _band_keys(sigs, num_hashes, bands)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
@@ -277,6 +313,197 @@ def minhash_lsh_duplicates(
     # cache registry)
     out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
     sh.unpersist()
+    return out
+
+
+def incremental_duplicates(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    base_bands: DataFrame,
+    threshold: float = 0.8,
+    n: int = 2,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs involving >= 1 NEW doc, probed against a
+    corpus's STORED band table — the incremental-ingest dedup pass.
+
+    ``base_bands`` is ``minhash_band_table(base_docs)`` persisted from a
+    prior run (num_hashes/bands must match).  Only the new shard is
+    signed and banded; candidates are (a) the within-shard band
+    self-join and (b) the probe equi-join of new bands against
+    ``base_bands`` on (band, bh).  Band keys are a per-doc function of
+    the text, so this candidate set is EXACTLY the from-scratch union
+    banding's candidates restricted to pairs with >= 1 new endpoint;
+    verification is exact word-n-gram Jaccard, so the output contract
+    equals ``minhash_lsh_duplicates(base UNION new)`` restricted the
+    same way (tests/test_text_dedup.py pins the equality).
+
+    Scale shape: the base corpus is never re-signed; its TEXT is
+    touched only for docs that appear in a candidate pair (a semi-join
+    that pushes the candidate-id filter into the base scan), so the
+    cost is O(new shard + candidate pairs), not O(union).  Output:
+    (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    new_bands = minhash_band_table(
+        new_docs, n=n, text_col=text_col, num_hashes=num_hashes, bands=bands
+    )
+    within = (
+        new_bands.alias("l")
+        .join(new_bands.alias("r"), on=["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
+    )
+    cross = (
+        new_bands.alias("l")
+        .join(base_bands.alias("r"), on=["band", "bh"])
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("a_id"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("b_id"),
+        )
+    )
+    cand = within.unionByName(cross).distinct().persist()
+    # shingle ONLY candidate docs: semi-join the id set into both corpora
+    # (pushes down to the scans), then verify with exact Jaccard.  The
+    # candidate set is eagerly cut first so the band plan is not replayed
+    # once per shingle side.
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        new_docs.select("doc_id", text_col)
+        .unionByName(base_docs.select("doc_id", text_col))
+        .join(ids, "doc_id", "left_semi")
+    )
+    sh = _shingles(touched, text_col, n)
+    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
+
+
+def dedup_incremental(
+    base_membership: DataFrame,
+    new_docs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Fold a new shard into an existing dedup verdict WITHOUT re-running
+    connected components over the union's duplicate graph.
+
+    Inputs: ``base_membership`` is a prior ``dedup_membership`` snapshot
+    (min-id policy) over the base corpus; ``new_pairs`` is every
+    duplicate pair with >= 1 new endpoint (``incremental_duplicates``).
+    Returns the UNION verdict — identical, row for row, to
+    ``dedup_membership(base UNION new, base_pairs UNION new_pairs)``
+    (pinned by tests/test_text_dedup.py and the driver's
+    ``dedup_incremental`` recursive-closure oracle).
+
+    How it stays incremental: every base duplicate GROUP enters the
+    contraction as one super-node labeled by its group_id (= min member
+    id), so the contracted graph has O(new docs + base groups touched by
+    a new pair) nodes — never O(base corpus).  Min-id labels compose
+    exactly: min over a merged component of {base group labels, new doc
+    ids} IS the min doc id of the union component, because each base
+    label is already the min of its members.  Verdicts for base groups
+    no new pair touches are passed through unchanged (zero recompute).
+    """
+    base_map = base_membership.select(
+        F.col(id_col).alias("_m_id"), F.col("group_id").alias("_m_grp")
+    )
+    # rewrite pair endpoints: base doc -> its base group super-node; new
+    # docs pass through (new ids never collide with base group ids — a
+    # group id is a base doc id and the corpora are disjoint)
+    e = (
+        new_pairs.select(F.col(a_col).alias("_ea"), F.col(b_col).alias("_eb"))
+        .join(
+            base_map.select(
+                F.col("_m_id").alias("_ea"), F.col("_m_grp").alias("_ga")
+            ),
+            "_ea",
+            "left",
+        )
+        .join(
+            base_map.select(
+                F.col("_m_id").alias("_eb"), F.col("_m_grp").alias("_gb")
+            ),
+            "_eb",
+            "left",
+        )
+        .select(
+            F.coalesce("_ga", "_ea").alias("_u0"),
+            F.coalesce("_gb", "_eb").alias("_v0"),
+        )
+    )
+    edges = (
+        e.select(
+            F.least("_u0", "_v0").alias("u"), F.greatest("_u0", "_v0").alias("v")
+        )
+        # both endpoints inside one base group: already recorded, no-op
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    from .cluster import _contract_components
+
+    comp = _contract_components(edges).persist()  # (node, label)
+    # component sizes: base super-node weight = its group size (kept row's
+    # n_dropped + 1 — every base group has exactly one kept row), new doc
+    # weight = 1
+    base_sizes = base_membership.filter("kept").select(
+        F.col("group_id").alias("node"),
+        (F.col("n_dropped") + F.lit(1)).cast("long").alias("_bsz"),
+    )
+    weighted = comp.join(base_sizes, "node", "left").select(
+        "node",
+        "label",
+        F.coalesce("_bsz", F.lit(1)).cast("long").alias("_w"),
+        F.col("_bsz").isNotNull().alias("_is_base"),
+    )
+    comp_sz = weighted.groupBy("label").agg(F.sum("_w").alias("_tot"))
+
+    # --- base rows: relabel members of touched groups; pass the rest through
+    touched = weighted.filter("_is_base").select(
+        F.col("node").alias("_old_g"), F.col("label").alias("_new_g")
+    )
+    bm = base_membership.join(
+        touched, base_membership["group_id"] == touched["_old_g"], "left"
+    ).join(comp_sz, F.col("_new_g") == comp_sz["label"], "left")
+    new_grp = F.coalesce("_new_g", "group_id")
+    kept_b = F.col(id_col) == new_grp
+    base_rows = bm.select(
+        F.col(id_col),
+        new_grp.alias("group_id"),
+        kept_b.alias("kept"),
+        F.when(
+            kept_b,
+            F.coalesce(F.col("_tot") - F.lit(1), F.col("n_dropped")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+    # --- new rows: label from the contraction; singletons keep themselves
+    nd = new_docs.select(F.col(id_col)).join(
+        comp.select(F.col("node").alias(id_col), "label"), id_col, "left"
+    ).join(comp_sz.withColumnRenamed("label", "_cl"), F.col("label") == F.col("_cl"), "left")
+    grp_n = F.coalesce("label", F.col(id_col))
+    kept_n = F.col(id_col) == grp_n
+    new_rows = nd.select(
+        F.col(id_col),
+        grp_n.alias("group_id"),
+        kept_n.alias("kept"),
+        F.when(kept_n, F.coalesce(F.col("_tot") - F.lit(1), F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    out = base_rows.unionByName(new_rows).localCheckpoint(eager=True)
+    comp.unpersist()
     return out
 
 
@@ -515,6 +742,18 @@ def dedup_membership(
     """
     if both_policies and score_col is None:
         raise ValueError("both_policies=True requires score_col")
+    if score_col is not None:
+        from pyspark.sql.types import NumericType
+
+        # the quality tie-break negates the id inside max(struct); a string
+        # id would implicitly cast to NULL (non-ANSI) and silently turn
+        # "min id" into "arbitrary" — fail loudly at plan time instead
+        id_type = docs.schema[id_col].dataType
+        if not isinstance(id_type, NumericType):
+            raise ValueError(
+                f"quality policy (score_col={score_col!r}) requires a numeric "
+                f"{id_col} for the min-id tie-break; got {id_type.simpleString()}"
+            )
     groups = duplicate_groups(pairs).withColumnRenamed("doc_id", id_col)
     sizes = groups.groupBy("group_id").agg(
         (F.count("*") - F.lit(1)).cast("long").alias("_grp_extra")

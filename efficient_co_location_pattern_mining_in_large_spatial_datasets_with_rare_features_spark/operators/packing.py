@@ -173,12 +173,14 @@ def pack_chunks(
         last.cast("long").alias("chunk_last"),
         (last - first + F.lit(1)).cast("long").alias("n_chunks"),
     )
-    # Eagerly checkpoint the result so the bucketed scratch is not
-    # pinned as the lazy plan's parent for the result's whole lifetime:
-    # once the output rows are frozen, the scratch RDD becomes
-    # unreachable and the ContextCleaner frees its blocks on the next
-    # driver GC (the dedup scratch-leak lesson, adapted — scratch here
-    # is GC-managed localCheckpoint blocks, not registry-held persists,
-    # so dropping the last reference IS the release).  The extra job is
-    # cheap: it reads the frozen skinny rows, never the source.
-    return out.localCheckpoint(eager=True)
+    # The result stays LAZY on purpose: downstream filters/projections
+    # keep composing with Catalyst, and the bucketed scratch (already
+    # materialized, GC-managed localCheckpoint blocks) is simply re-read
+    # by downstream actions and dies with the returned frame.  An eager
+    # checkpoint here would re-materialize the FULL corpus-width output
+    # just to release the narrower scratch a little earlier — a worse
+    # memory trade than the scratch it frees, and localCheckpoint blocks
+    # are unrecoverable on executor loss, which cuts against the 100 TB
+    # framing (round-7 advice).  Determinism is already guaranteed by the
+    # bucketize checkpoint: offsets derive only from the frozen rows.
+    return out

@@ -62,6 +62,8 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     embeddings of one corpus); ragged dims are a caller bug and raise.
     """
     va, vb = a.to_numpy(), b.to_numpy()
+    if len(va) == 0:  # vstack([]) raises; an empty Arrow batch is legal
+        return pd.Series(np.empty(0, dtype=np.int64))
     ok = np.array(
         [x is not None and y is not None for x, y in zip(va, vb)], dtype=bool
     )

@@ -507,3 +507,99 @@ def test_pair_dot_all_null_batch(spark):
         r["dot"] for r in df.select(_pair_dot("a", "b").alias("dot")).collect()
     ]
     assert got == [None, None]
+
+
+# ---------------------------------------------------------------- incremental
+def _split_corpus(spark):
+    """sf0.001 documents split into a base corpus and a 'new shard' the
+    way an ingest pipeline would see them (disjoint, union = corpus)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.filter("doc_id % 4 != 3"), docs.filter("doc_id % 4 = 3"), docs
+
+
+def test_incremental_duplicates_equals_from_scratch_restriction(spark):
+    """incremental_duplicates (stored base bands + new-shard probe) must
+    produce EXACTLY the from-scratch union pairs that touch a new doc."""
+    base, new, union = _split_corpus(spark)
+    bands = dedup.minhash_band_table(base)
+    inc = {
+        (r.a_id, r.b_id)
+        for r in dedup.incremental_duplicates(new, base, bands, threshold=0.8).collect()
+    }
+    scratch = dedup.minhash_lsh_duplicates(union, threshold=0.8)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        (r.a_id, r.b_id)
+        for r in scratch.collect()
+        if r.a_id in new_ids or r.b_id in new_ids
+    }
+    assert inc == want
+    assert inc, "sf0.001 split produced no cross/new pairs — test is vacuous"
+
+
+def test_dedup_incremental_equals_from_scratch_union(spark):
+    """The full incremental verdict (base snapshot + new shard) must equal
+    dedup_membership recomputed from scratch over the union — same groups,
+    same representatives, same drop counts, one row per union doc."""
+    base, new, union = _split_corpus(spark)
+    base_pairs = dedup.minhash_lsh_duplicates(base, threshold=0.8)
+    base_m = dedup.dedup_membership(base, base_pairs)
+    bands = dedup.minhash_band_table(base)
+    new_pairs = dedup.incremental_duplicates(new, base, bands, threshold=0.8)
+    inc = dedup.dedup_incremental(base_m, new, new_pairs)
+
+    union_pairs = dedup.minhash_lsh_duplicates(union, threshold=0.8)
+    want = dedup.dedup_membership(union, union_pairs)
+    key = lambda r: (r.doc_id, r.group_id, r.kept, r.n_dropped)  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, want.collect()))
+
+
+def test_dedup_incremental_merges_two_base_groups(spark):
+    """A new doc bridging two pre-existing base groups must merge them
+    under the global min-id label and move n_dropped to the new rep."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    base = _docs(spark, [
+        (1, text_a), (2, text_a),            # base group {1,2} label 1
+        (10, text_b), (11, text_b),          # base group {10,11} label 10
+        (20, "lonely unique doc with its own words"),
+    ])
+    # the bridge doc is near-dup of BOTH groups' texts: half a / half b
+    # won't clear jaccard 0.8, so use explicit pairs instead of minhash
+    base_pairs = dedup.minhash_lsh_duplicates(base, threshold=0.8)
+    base_m = dedup.dedup_membership(base, base_pairs)
+    new = _docs(spark, [(5, text_a)])
+    new_pairs = spark.createDataFrame(
+        [(1, 5, 1.0), (5, 10, 1.0)], "a_id long, b_id long, jaccard double"
+    ).select("a_id", "b_id", "jaccard")
+    out = {r.doc_id: (r.group_id, r.kept, r.n_dropped)
+           for r in dedup.dedup_incremental(base_m, new, new_pairs).collect()}
+    assert out[1] == (1, True, 4)   # global rep absorbs 2,5,10,11
+    assert out[2] == (1, False, 0)
+    assert out[5] == (1, False, 0)
+    assert out[10] == (1, False, 0)
+    assert out[11] == (1, False, 0)
+    assert out[20] == (20, True, 0)
+    assert len(out) == 6
+
+
+def test_dedup_membership_quality_policy_requires_numeric_id(spark):
+    docs = spark.createDataFrame(
+        [("a", "x y z", 3)], "doc_id string, text string, q int"
+    )
+    pairs = spark.createDataFrame([], "a_id string, b_id string")
+    with pytest.raises(ValueError, match="numeric"):
+        dedup.dedup_membership(docs, pairs, score_col="q")
+
+
+def test_pair_dot_empty_batch():
+    """An empty Arrow batch must return an empty series, not raise from
+    np.vstack([]) (round-7 advice)."""
+    import pandas as pd
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.similarity import (
+        _pair_dot,
+    )
+
+    out = _pair_dot.func(pd.Series([], dtype=object), pd.Series([], dtype=object))
+    assert len(out) == 0
