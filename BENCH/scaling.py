@@ -133,7 +133,72 @@ _DEFAULT_WORKLOAD = (
     and os.environ.get("SPARK_GRAFT_SHUFFLE", "64") == "64"
     and not os.environ.get("SPARK_GRAFT_SCALE_EXTRA")
 )
-WITNESS_REF = {2: 350.8, 8: 96.1, 32: 44.0} if _DEFAULT_WORKLOAD else {}
+
+#: the mining-path files whose speed determines the workload's wall —
+#: the witness floors are only valid while this code is not FASTER than
+#: the rounds that set them (a faster miner could ride a stale floor
+#: through a wave and self-accept a dirty window as "steady").
+_ENG = (
+    "efficient_co_location_pattern_mining_in_large_spatial_datasets"
+    "_with_rare_features_spark"
+)
+MINING_PATH_FILES = [
+    f"{_ENG}/plans/miner.py",
+    f"{_ENG}/operators/pairs.py",
+    f"{_ENG}/operators/stars.py",
+    f"{_ENG}/operators/cells.py",
+]
+
+
+def mining_path_hash(repo: str = "/root/repo") -> str:
+    """16-hex-digit sha256 over the concatenated mining-path sources."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in MINING_PATH_FILES:
+        with open(os.path.join(repo, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _load_witness_refs(
+    default_workload: bool,
+    floors_path: str | None = None,
+    current_hash: str | None = None,
+) -> tuple[dict, str | None]:
+    """(witness floors, disabled-reason) — floors are usable only when
+    BOTH preconditions hold (round-7 verdict #4 mechanized):
+
+    1. the workload is the default one the floors were measured on;
+    2. the mining-path code hash matches the hash the floors were
+       anchored against (BENCH/witness_floors.json) — any mining-path
+       edit, however innocent-looking, disables the witness path until
+       the floors are re-anchored from sandwich-accepted runs.
+    """
+    if not default_workload:
+        return {}, "non-default workload (env overrides)"
+    if floors_path is None:
+        floors_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "witness_floors.json"
+        )
+    try:
+        with open(floors_path) as f:
+            data = json.load(f)
+    except (OSError, ValueError) as exc:
+        return {}, f"witness_floors.json unreadable: {exc}"
+    pinned = data.get("mining_path_sha256_16")
+    cur = current_hash if current_hash is not None else mining_path_hash()
+    if cur != pinned:
+        return {}, (
+            f"mining-path hash {cur} != anchored {pinned}: the mining code "
+            "changed since the floors were anchored — re-anchor "
+            "witness_floors.json from sandwich-accepted runs before the "
+            "witness path is valid again"
+        )
+    return {int(k): float(v) for k, v in data["floors_sec"].items()}, None
+
+
+WITNESS_REF, WITNESS_DISABLED_REASON = _load_witness_refs(_DEFAULT_WORKLOAD)
 WITNESS_TOL = float(os.environ.get("SPARK_GRAFT_WITNESS_TOL", "0.12"))
 
 #: launch gate: require a clean relative overhead but tolerate a
@@ -324,6 +389,8 @@ def main() -> None:
         "compute walls, so a steady-floor wall cannot contain one)",
         "control_tol": attempts[0]["ctl_pre"]["tol"] if attempts else None,
         "witness_refs_sec": WITNESS_REF,
+        "witness_disabled_reason": WITNESS_DISABLED_REASON,
+        "mining_path_sha256_16": mining_path_hash(),
         "witness_tol": WITNESS_TOL,
         "attempts": attempts,
         "n_rejected_windows": sum(1 for a in attempts if not a["accepted"]),

@@ -93,6 +93,77 @@ def _load_expected() -> dict:
 
 RERUN_FACTOR = 2.0
 
+# ---- 1M-doc dedup-chain scale workload (round-7 verdict #1) -------------
+# The miner has its 2M-instance scaling workload; this is the equivalent
+# for the dedup/text half of the engine — the half a training-data
+# pipeline runs hottest, previously never timed above 5k documents.
+DEDUP_SCALE_N = int(os.environ.get("SPARK_GRAFT_DEDUP_N", "1000000"))
+DEDUP_BLOCK = 50
+DEDUP_TPD = 40  # tokens per document
+DEDUP_PACK_SEQ = 2048
+
+
+def synth_dedup_corpus(spark, n_docs: int, block: int = DEDUP_BLOCK,
+                       tpd: int = DEDUP_TPD, parts: int = 64):
+    """Deterministic (doc_id, text) corpus with an EXACTLY known near-dup
+    structure, entirely Spark-expression-generated (no driver data).
+
+    Layout per block of ``block`` docs: positions 0 and 1 share one seed
+    (a near-dup pair); in every 10th block position 2 joins them (a
+    transitive group of 3); every other position is a unique doc keyed
+    by its own id.  Group members 1 and 2 have their last TWO tokens
+    replaced with doc-unique tokens, so with ``tpd`` = 40 the pairwise
+    distinct-bigram Jaccard inside a group is 37/41 ~= 0.902 — above the
+    0.8 dedup threshold with margin, while cross-seed docs share at most
+    stray hash-collision bigrams (J ~ 0, unreachable from 0.8).  Every
+    doc has exactly ``tpd`` tokens, so packing totals are exact too.
+    Expected pair/kept counts: ``dedup_scale_expectations``; the tiny
+    (n=5000) twin of this corpus is invariant-tested in
+    tests/test_dedup_scale.py, so the bench booleans mean something.
+    """
+    from pyspark.sql import functions as F
+
+    pos = F.col("id") % block
+    blk = F.floor(F.col("id") / block).cast("long")
+    is_member = (pos < 2) | ((pos == 2) & (blk % 10 == 0))
+    seed = F.when(is_member, blk * block).otherwise(F.col("id"))
+    perturb = is_member & (pos >= 1)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(tpd - 1)),
+        lambda j: F.when(
+            perturb & (j >= tpd - 2),
+            F.concat(
+                F.lit("u"), F.col("id").cast("string"),
+                F.lit("x"), j.cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64(seed * 1024 + j), F.lit(999983)).cast("string"),
+            )
+        ),
+    )
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text"))
+        .repartition(parts)
+    )
+
+
+def dedup_scale_expectations(n_docs: int, block: int = DEDUP_BLOCK) -> dict:
+    """Exact expected dedup outcomes for ``synth_dedup_corpus``."""
+    if n_docs % (10 * block) != 0:
+        raise ValueError(f"n_docs must be a multiple of {10 * block}")
+    blocks = n_docs // block
+    triples = blocks // 10          # blocks where blk % 10 == 0
+    pairs_only = blocks - triples
+    dropped = pairs_only * 1 + triples * 2
+    return {
+        "expected_pairs": pairs_only * 1 + triples * 3,
+        "expected_dropped": dropped,
+        "expected_kept": n_docs - dropped,
+    }
+
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
@@ -137,11 +208,14 @@ def main() -> None:
         """Wave-aware entry timing: if the first wall exceeds
         RERUN_FACTOR x the steady-state reference, run the pure-compute
         control (was the host delivering cores?) and the entry again in
-        the SAME context — ``wall_rerun`` close to ``wall`` means the
-        suite context is genuinely slow; ``wall_rerun`` back at the
-        reference means the first sample was a wave.  ``timings`` (the
-        headline per-query figure) takes the min; every raw sample and
-        the control verdict ship in ``queries_detail``."""
+        the SAME context.  Which sample becomes the headline is GATED ON
+        THE CONTROL VERDICT (round-7 verdict #3): when the control was
+        dirty the first sample waved and ``min(wall, rerun)`` recovers
+        the steady figure; when the control was CLEAN a 2x-slow entry is
+        a real regression and the first wall stays the headline — the
+        (warm-context) rerun must not hide it.  Every raw sample, the
+        control verdict, and which sample won (and why) ship in
+        ``queries_detail``."""
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
@@ -161,7 +235,20 @@ def main() -> None:
             t0 = time.time()
             fn()
             det["wall_rerun"] = round(time.time() - t0, 3)
-            timings[name] = min(wall, det["wall_rerun"])
+            if ctl["clean"]:
+                timings[name] = wall
+                det["headline"] = "first"
+                det["headline_reason"] = (
+                    "control clean — slow first sample is a real regression; "
+                    "warm rerun kept as evidence only"
+                )
+            else:
+                timings[name] = min(wall, det["wall_rerun"])
+                det["headline"] = "min"
+                det["headline_reason"] = (
+                    "control dirty — first sample waved; min(wall, rerun) "
+                    "recovers the steady figure"
+                )
         else:
             timings[name] = wall
         details[name] = det
@@ -470,68 +557,179 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- 1M-doc dedup chain (round-7 verdict #1): the dedup/text half of
+    # the engine timed at the scale the miner's 2M-instance workload set,
+    # over a corpus with EXACTLY known pair/kept/pack/contamination counts
+    # so every wall ships with a correctness invariant, not just a number.
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.functions.text import (
+        token_count,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.decontaminate import (
+        shingle_contamination,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.packing import (
+        pack_chunks,
+    )
+
+    spark.sparkContext._jvm.System.gc()  # clean slate before the heavy leg
+    exp1m = dedup_scale_expectations(DEDUP_SCALE_N)
+    corpus1m = synth_dedup_corpus(
+        spark, DEDUP_SCALE_N, parts=2 * int(cpus)
+    ).persist()
+    n_corpus1m = corpus1m.count()
+    pairs1m = timed(
+        "dedup_minhash_lsh_1m",
+        lambda: dedup.minhash_lsh_duplicates(corpus1m, threshold=0.8),
+    )  # operator eagerly checkpoints: the call IS the work
+    n_pairs1m = pairs1m.count()
+    member_counts = timed(
+        "dedup_membership_1m",
+        lambda: dedup.dedup_membership(corpus1m, pairs1m)
+        .groupBy("kept")
+        .count()
+        .collect(),
+    )
+    kept1m = next((r["count"] for r in member_counts if r["kept"]), 0)
+    total1m = sum(r["count"] for r in member_counts)
+    apply1m = timed(
+        "dedup_apply_1m", lambda: dedup.apply_dedup(corpus1m, pairs1m).count()
+    )
+    pack_stats = timed(
+        "docs_pack_chunks_1m",
+        lambda: pack_chunks(
+            corpus1m.withColumn("n_tokens", token_count(F.col("text"))),
+            seq_len=DEDUP_PACK_SEQ,
+        )
+        .agg(F.count("*").alias("n"), F.max("chunk_last").alias("mx"))
+        .collect()[0],
+    )
+    n_eval_blocks = min(500, DEDUP_SCALE_N // DEDUP_BLOCK)
+    eval1m = corpus1m.filter(
+        (F.col("doc_id") % DEDUP_BLOCK == 5)
+        & (F.col("doc_id") < n_eval_blocks * DEDUP_BLOCK)
+    )
+    contam1m = timed(
+        "docs_decontaminate_1m",
+        lambda: shingle_contamination(corpus1m, eval1m).count(),
+    )
+    corpus1m.unpersist()
+    expected_max_chunk = (DEDUP_TPD * DEDUP_SCALE_N - 1) // DEDUP_PACK_SEQ
+    dedup_scale = {
+        "n_docs": n_corpus1m,
+        "pairs": n_pairs1m,
+        "expected_pairs": exp1m["expected_pairs"],
+        "kept": kept1m,
+        "expected_kept": exp1m["expected_kept"],
+        "membership_rows": total1m,
+        "apply_rows": apply1m,
+        "pack_rows": int(pack_stats["n"]),
+        "pack_max_chunk": int(pack_stats["mx"]),
+        "expected_max_chunk": expected_max_chunk,
+        "contaminated": contam1m,
+        "expected_contaminated": n_eval_blocks,
+        "invariants_ok": bool(
+            n_pairs1m == exp1m["expected_pairs"]
+            and kept1m == exp1m["expected_kept"]
+            and total1m == n_corpus1m == DEDUP_SCALE_N
+            and apply1m == exp1m["expected_kept"]
+            and int(pack_stats["n"]) == DEDUP_SCALE_N
+            and int(pack_stats["mx"]) == expected_max_chunk
+            and contam1m == n_eval_blocks
+        ),
+    }
+    print(f"[bench] dedup_scale: {dedup_scale}", file=sys.stderr, flush=True)
+    spark.sparkContext._jvm.System.gc()
+
     flagship = timings["colocation_mine_full"] + timings["tile_counts"]
     ctl_end = control(8)
     print(f"[bench] suite-end control: {ctl_end}", file=sys.stderr, flush=True)
-    print(
-        json.dumps(
-            {
-                "metric": "colocation mining + tile assignment end-to-end wall",
-                "value": round(flagship, 3),
-                "unit": "sec",
-                "queries": timings,
-                # wave-aware evidence per entry: raw first wall, rerun
-                # wall when the first exceeded 2x the steady reference,
-                # and the host-control verdict at that moment
-                "queries_detail": details,
-                "rerun_factor": RERUN_FACTOR,
-                "control_suite_start": ctl_start,
-                "control_suite_end": ctl_end,
-                "sf": sf_dir,
-                "cpus": int(cpus),
-                "n_instances": n_instances,
-                "n_docs": n_docs,
-                "n_embeddings": n_emb,
-                "pairs": res.pair_count,
-                "patterns": len(res.patterns),
-                "throughput_rows_per_sec": round(n_instances / flagship, 1),
-                "ann_lsh_recall": ann_recall,
-                "ann_ivf_recall": ivf_recall,
-                "ann_lsh_recall_100k": lsh_recall_100k,
-                "ann_ivf_recall_100k": ivf_recall_100k,
-                "ann_lsh_recall_100k_hard": lsh_recall_hard,
-                "ann_ivf_recall_100k_hard": ivf_recall_hard,
-                "ann_hard_knobs": {
-                    "lsh_r": ANN_HARD_LSH_R,
-                    "lsh_bands": ANN_HARD_LSH_BANDS,
-                    "ivf_centroids": ANN_HARD_IVF_CENTROIDS,
-                    "ivf_probe": ANN_HARD_IVF_PROBE,
-                },
-                "ann_scale_recall_floor": ANN_RECALL_FLOOR,
-                "ann_scale_recall_pass": bool(
-                    lsh_recall_100k >= ANN_RECALL_FLOOR
-                    and ivf_recall_100k >= ANN_RECALL_FLOOR
-                ),
-                # the binding gate: recall must clear the floor on the
-                # corpus where 1.0 is NOT attainable at sane cost
-                "ann_hard_recall_pass": bool(
-                    lsh_recall_hard >= ANN_RECALL_FLOOR
-                    and ivf_recall_hard >= ANN_RECALL_FLOOR
-                ),
-                "ann_hard_gate_binding": bool(
-                    lsh_recall_hard < 1.0 or ivf_recall_hard < 1.0
-                ),
-                "d": BENCH_D,
-                "min_prev": BENCH_MIN_PREV,
-                # north-rule evidence: measured separately by BENCH/scaling.py
-                # (2M instances, separate pinned JVMs per leg — too slow to
-                # re-run inside every bench invocation); the artifact below
-                # carries the LAST REAL measurement, written by scaling.py
-                "scaling_evidence": "BENCH/BASELINE.md + BENCH/scaling.py",
-                **_scaling_artifact(),
-            }
-        )
+    scaling_art = _scaling_artifact()
+    ann_scale_pass = bool(
+        lsh_recall_100k >= ANN_RECALL_FLOOR and ivf_recall_100k >= ANN_RECALL_FLOOR
     )
+    # the binding gate: recall must clear the floor on the corpus where
+    # 1.0 is NOT attainable at sane cost
+    ann_hard_pass = bool(
+        lsh_recall_hard >= ANN_RECALL_FLOOR and ivf_recall_hard >= ANN_RECALL_FLOOR
+    )
+    ann_hard_binding = bool(lsh_recall_hard < 1.0 or ivf_recall_hard < 1.0)
+    summary = {
+        "metric": "colocation mining + tile assignment end-to-end wall",
+        "value": round(flagship, 3),
+        "unit": "sec",
+        "queries": timings,
+        # wave-aware evidence per entry: raw first wall, rerun wall when
+        # the first exceeded 2x the steady reference, the host-control
+        # verdict at that moment, and which sample won the headline
+        "queries_detail": details,
+        "rerun_factor": RERUN_FACTOR,
+        "control_suite_start": ctl_start,
+        "control_suite_end": ctl_end,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_instances": n_instances,
+        "n_docs": n_docs,
+        "n_embeddings": n_emb,
+        "pairs": res.pair_count,
+        "patterns": len(res.patterns),
+        "throughput_rows_per_sec": round(n_instances / flagship, 1),
+        "ann_lsh_recall": ann_recall,
+        "ann_ivf_recall": ivf_recall,
+        "ann_lsh_recall_100k": lsh_recall_100k,
+        "ann_ivf_recall_100k": ivf_recall_100k,
+        "ann_lsh_recall_100k_hard": lsh_recall_hard,
+        "ann_ivf_recall_100k_hard": ivf_recall_hard,
+        "ann_hard_knobs": {
+            "lsh_r": ANN_HARD_LSH_R,
+            "lsh_bands": ANN_HARD_LSH_BANDS,
+            "ivf_centroids": ANN_HARD_IVF_CENTROIDS,
+            "ivf_probe": ANN_HARD_IVF_PROBE,
+        },
+        "ann_scale_recall_floor": ANN_RECALL_FLOOR,
+        "ann_scale_recall_pass": ann_scale_pass,
+        "ann_hard_recall_pass": ann_hard_pass,
+        "ann_hard_gate_binding": ann_hard_binding,
+        # 1M-doc dedup-chain walls + exact invariants (round-7 verdict #1)
+        "dedup_scale": dedup_scale,
+        "d": BENCH_D,
+        "min_prev": BENCH_MIN_PREV,
+        # north-rule evidence: measured separately by BENCH/scaling.py
+        # (2M instances, separate pinned JVMs per leg — too slow to
+        # re-run inside every bench invocation); the artifact below
+        # carries the LAST REAL measurement, written by scaling.py
+        "scaling_evidence": "BENCH/BASELINE.md + BENCH/scaling.py",
+        **scaling_art,
+    }
+    # FULL summary -> committed artifact; stdout gets a COMPACT headline
+    # line only.  Round 7's single fat JSON line outgrew the driver's
+    # tail-capture window and BENCH_r07.json landed with parsed:null —
+    # the per-query record must never again depend on stdout buffering.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    with open(os.path.join(bench_dir, "bench_last.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    headline = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_instances": n_instances,
+        "pairs": res.pair_count,
+        "patterns": len(res.patterns),
+        "throughput_rows_per_sec": summary["throughput_rows_per_sec"],
+        "ann_scale_recall_pass": ann_scale_pass,
+        "ann_hard_recall_pass": ann_hard_pass,
+        "ann_hard_gate_binding": ann_hard_binding,
+        "dedup_scale_n_docs": dedup_scale["n_docs"],
+        "dedup_scale_invariants_ok": dedup_scale["invariants_ok"],
+        "scaling_efficiency_last_measured": scaling_art.get(
+            "scaling_efficiency_last_measured"
+        ),
+        "scaling_passes_north_rule": scaling_art.get("scaling_passes_north_rule"),
+        "detail_artifact": "BENCH/bench_last.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

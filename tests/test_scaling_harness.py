@@ -114,3 +114,48 @@ def test_control_clean_requires_all_three_checks():
     assert control.BW_MIN_FRAC == pytest.approx(0.6)
     assert control._bw_ref(8) == pytest.approx(73.0)
     assert control._bw_ref(2) == pytest.approx(19.6)
+
+
+# --- witness-floor validity precondition (round-7 verdict #4, mechanized) ---
+def test_witness_refs_disabled_on_mining_path_hash_mismatch():
+    """A mining-path edit must disable the witness acceptance path until
+    the floors are re-anchored — a faster miner would otherwise ride the
+    stale floors through a wave and self-accept dirty windows."""
+    refs, reason = scaling._load_witness_refs(
+        True, current_hash="0000000000000000"
+    )
+    assert refs == {}
+    assert "re-anchor" in reason
+
+
+def test_witness_refs_enabled_when_hash_matches_anchor():
+    refs, reason = scaling._load_witness_refs(
+        True, current_hash=scaling.mining_path_hash()
+    )
+    assert refs == {2: 350.8, 8: 96.1, 32: 44.0}
+    assert reason is None
+
+
+def test_witness_refs_disabled_without_floors_file(tmp_path):
+    refs, reason = scaling._load_witness_refs(
+        True, floors_path=str(tmp_path / "missing.json")
+    )
+    assert refs == {}
+    assert "unreadable" in reason
+
+
+def test_witness_refs_disabled_for_non_default_workload():
+    refs, reason = scaling._load_witness_refs(False)
+    assert refs == {}
+    assert "non-default" in reason
+
+
+def test_current_tree_hash_matches_anchor():
+    """The pinned anchor must track the actual tree: if this fails, a
+    mining-path file changed — re-anchor BENCH/witness_floors.json from
+    sandwich-accepted runs (do NOT just bump the hash)."""
+    import json
+
+    with open(os.path.join(_BENCH, "witness_floors.json")) as f:
+        pinned = json.load(f)["mining_path_sha256_16"]
+    assert scaling.mining_path_hash() == pinned

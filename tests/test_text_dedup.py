@@ -603,3 +603,33 @@ def test_pair_dot_empty_batch():
 
     out = _pair_dot.func(pd.Series([], dtype=object), pd.Series([], dtype=object))
     assert len(out) == 0
+
+
+def test_minhash_band_family_independence():
+    """Band-miss probability guard (round-8 finding): the structured
+    (2i+1, 7i+3) seed family produced CORRELATED band agreements and
+    missed J=0.902 pairs at ~4.5e-4 (7 of 24,000 planted pairs in the 1M
+    bench corpus) — 11 orders of magnitude off the independent-bands
+    math.  The mixed family must show zero misses on 2,000 simulated
+    member-pair-shaped set pairs (37 shared + 2 unique hashes each); a
+    regression to any structured family fails this within a few runs."""
+    import numpy as np
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        MINHASH_PRIME,
+        MINHASH_SEEDS,
+    )
+
+    rng = np.random.default_rng(12345)
+    a = np.array([s[0] for s in MINHASH_SEEDS], dtype=np.int64)[:, None]
+    b = np.array([s[1] for s in MINHASH_SEEDS], dtype=np.int64)[:, None]
+    misses = 0
+    for _ in range(2000):
+        shared = rng.integers(0, MINHASH_PRIME, 37)
+        u1 = rng.integers(0, MINHASH_PRIME, 2)
+        u2 = rng.integers(0, MINHASH_PRIME, 2)
+        sa = ((a * np.concatenate([shared, u1])[None, :] + b) % MINHASH_PRIME).min(axis=1)
+        sb = ((a * np.concatenate([shared, u2])[None, :] + b) % MINHASH_PRIME).min(axis=1)
+        if not (sa == sb).reshape(32, 4).all(axis=1).any():
+            misses += 1
+    assert misses == 0
