@@ -78,3 +78,48 @@ def test_contamination_eval_set_exact(spark):
         b * bench.DEDUP_BLOCK + 5 for b in range(n_eval_blocks)
     }
     corpus.unpersist()
+
+
+def test_incremental_expectations_formula():
+    exp = bench.dedup_incremental_expectations(1_000_000)
+    assert exp == {
+        "expected_inc_pairs": 2400 + 1100,
+        "expected_shard_docs": 2000 * 50 + 1000,
+        "expected_kept": 978_000,
+    }
+    # below the within-shard region: cross pairs only
+    exp_small = bench.dedup_incremental_expectations(N)
+    assert exp_small == {
+        "expected_inc_pairs": 90 + 2 * 10,
+        "expected_shard_docs": 100,
+        "expected_kept": 4_890,
+    }
+
+
+def test_incremental_shard_pipeline_small(spark):
+    """The bench incremental leg's exact shape at the 5,000-doc twin:
+    stored base bands + shard probe must find exactly the closed-form
+    cross pairs and fold into the union's exact survivor count."""
+    exp = bench.dedup_incremental_expectations(N)
+    corpus = bench.synth_dedup_corpus(spark, N, parts=8).persist()
+    shard_cond = (
+        F.col("doc_id") >= bench.INC_SHARD_BLOCK_FROM * bench.DEDUP_BLOCK
+    ) | (
+        (F.col("doc_id") % bench.DEDUP_BLOCK == 1)
+        & (F.col("doc_id") < bench.INC_CROSS_BLOCKS * bench.DEDUP_BLOCK)
+    )
+    base, new = corpus.filter(~shard_cond), corpus.filter(shard_cond)
+    assert new.count() == exp["expected_shard_docs"]
+    union_pairs = dedup.minhash_lsh_duplicates(corpus, threshold=0.8)
+    new_ids = new.select(F.col("doc_id").alias("a_id"))
+    base_pairs = union_pairs.join(new_ids, "a_id", "left_anti").join(
+        new_ids.withColumnRenamed("a_id", "b_id"), "b_id", "left_anti"
+    )
+    base_m = dedup.dedup_membership(base, base_pairs)
+    bands = dedup.minhash_band_table(base)
+    inc_pairs = dedup.incremental_duplicates(new, base, bands, threshold=0.8)
+    assert inc_pairs.count() == exp["expected_inc_pairs"]
+    verdict = dedup.dedup_incremental(base_m, new, inc_pairs)
+    assert verdict.count() == N
+    assert verdict.filter("kept").count() == exp["expected_kept"]
+    corpus.unpersist()
