@@ -150,10 +150,12 @@ MINING_PATH_FILES = [
 ]
 
 
-def mining_path_hash(repo: str = "/root/repo") -> str:
+def mining_path_hash(repo: str | None = None) -> str:
     """16-hex-digit sha256 over the concatenated mining-path sources."""
     import hashlib
 
+    if repo is None:  # the repo root is BENCH/'s parent, wherever cloned
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     for rel in MINING_PATH_FILES:
         with open(os.path.join(repo, rel), "rb") as f:
@@ -181,13 +183,17 @@ def _load_witness_refs(
         floors_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "witness_floors.json"
         )
+    # everything below degrades to a disabled-reason, never an import
+    # crash: a missing mining-path file or malformed floors file must
+    # disable the witness path, not kill the harness
     try:
         with open(floors_path) as f:
             data = json.load(f)
-    except (OSError, ValueError) as exc:
-        return {}, f"witness_floors.json unreadable: {exc}"
-    pinned = data.get("mining_path_sha256_16")
-    cur = current_hash if current_hash is not None else mining_path_hash()
+        pinned = data["mining_path_sha256_16"]
+        floors = {int(k): float(v) for k, v in data["floors_sec"].items()}
+        cur = current_hash if current_hash is not None else mining_path_hash()
+    except (OSError, ValueError, KeyError, TypeError) as exc:
+        return {}, f"witness floors unusable: {type(exc).__name__}: {exc}"
     if cur != pinned:
         return {}, (
             f"mining-path hash {cur} != anchored {pinned}: the mining code "
@@ -195,7 +201,7 @@ def _load_witness_refs(
             "witness_floors.json from sandwich-accepted runs before the "
             "witness path is valid again"
         )
-    return {int(k): float(v) for k, v in data["floors_sec"].items()}, None
+    return floors, None
 
 
 WITNESS_REF, WITNESS_DISABLED_REASON = _load_witness_refs(_DEFAULT_WORKLOAD)

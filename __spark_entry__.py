@@ -453,32 +453,26 @@ def _q_prevalent_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows or [], "f1 string, f2 string, wpi double")
 
 
-def _q_mine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mine_rows(spark: SparkSession, sf_dir: str, method: str) -> list:
+    """Canonical (pattern, size, wpi) rows from one mining physical plan
+    (``mine`` = level-wise, ``mine_subtrees`` = Algorithm-3 subtree)."""
     inst = instances_from_events(spark, sf_dir)
-    res = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV)).mine(inst)
+    miner = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV))
+    res = getattr(miner, method)(inst)
     # the SQL oracle enumerates cliques only to k=8; a wider feature universe
     # must fail loudly here, not hash-mismatch mysteriously
     assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
-    rows = [
+    return [
         (",".join(p), len(p), round(res.wpi[p], 9))
         for p in sorted(res.patterns, key=lambda p: (len(p), p))
     ]
-    return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
 
 
-def _q_mine_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Algorithm-3 per-subtree physical plan — identical output contract to
-    colocation_mine_full (checked against the same brute-force SQL oracle)."""
-    inst = instances_from_events(spark, sf_dir)
-    res = eng.ColocationMiner(
-        spark, eng.ColocationConfig(D, MIN_PREV)
-    ).mine_subtrees(inst)
-    assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
-    rows = [
-        (",".join(p), len(p), round(res.wpi[p], 9))
-        for p in sorted(res.patterns, key=lambda p: (len(p), p))
-    ]
-    return spark.createDataFrame(rows or [], "pattern string, size int, wpi double")
+def _q_mine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _mine_rows(spark, sf_dir, "mine") or [],
+        "pattern string, size int, wpi double",
+    )
 
 
 def _q_mine_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,16 +486,11 @@ def _q_mine_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's 50-entry cap for ``dedup_incremental`` — plan-equivalence
     coverage is unchanged (arguably stronger: one hash now proves the
     two plans agree row for row *and* match the oracle)."""
-    rows = []
-    for plan, method in (("full", "mine"), ("subtree", "mine_subtrees")):
-        inst = instances_from_events(spark, sf_dir)
-        miner = eng.ColocationMiner(spark, eng.ColocationConfig(D, MIN_PREV))
-        res = getattr(miner, method)(inst)
-        assert len(res.counts) <= 8, "mining oracle unrolled to k=8 only"
-        rows += [
-            (plan, ",".join(p), len(p), round(res.wpi[p], 9))
-            for p in sorted(res.patterns, key=lambda p: (len(p), p))
-        ]
+    rows = [
+        (plan, *r)
+        for plan, method in (("full", "mine"), ("subtree", "mine_subtrees"))
+        for r in _mine_rows(spark, sf_dir, method)
+    ]
     return spark.createDataFrame(
         rows or [], "plan string, pattern string, size int, wpi double"
     )

@@ -294,24 +294,51 @@ def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def minhash_params_hash(n: int = 2, num_hashes: int = 128, bands: int = 32) -> int:
+    """63-bit fingerprint of everything a stored band table's keys depend
+    on: shingle width, hash count, band count, AND the seed family
+    itself.  Band keys from mismatched parameters (or a different seed
+    family — the round-8 family replacement is exactly such an event)
+    share no (band, bh) values, so a stale stored table would silently
+    produce ZERO cross-corpus candidates; the fingerprint turns that
+    silent miss into a loud error (see ``incremental_duplicates``)."""
+    h = _splitmix64((n << 40) ^ (num_hashes << 20) ^ bands)
+    for a, b in MINHASH_SEEDS[:num_hashes]:
+        h = _splitmix64(h ^ a)
+        h = _splitmix64(h ^ b)
+    return h >> 1  # non-negative int64
+
+
 def minhash_band_table(
     docs: DataFrame,
     n: int = 2,
     text_col: str = "text",
     num_hashes: int = 128,
     bands: int = 32,
+    stamp: bool = True,
 ) -> DataFrame:
     """Durable LSH index of a corpus: (doc_id, band, bh), one row per
     (doc, band).  This is the "stored signatures" artifact a pipeline
     persists (e.g. as a bucketed table on ``bh``) so future shards can be
     deduplicated against the corpus WITHOUT recomputing its signatures —
     see ``incremental_duplicates``.  Skinny by construction: 32 rows of
-    (id, int, int64) per doc regardless of document length."""
-    return _band_keys(
+    (id, int, int64) per doc regardless of document length.
+
+    With ``stamp=True`` (default) a constant ``sig_v`` column pins the
+    parameter/seed-family fingerprint (``minhash_params_hash``) — in
+    parquet a constant column RLE-encodes to ~nothing, and probe-time
+    validation catches a stored table whose keys were built under
+    different parameters before it silently matches no candidates."""
+    out = _band_keys(
         minhash_signatures(docs, n=n, text_col=text_col, num_hashes=num_hashes),
         num_hashes,
         bands,
     )
+    if stamp:
+        out = out.withColumn(
+            "sig_v", F.lit(minhash_params_hash(n, num_hashes, bands)).cast("long")
+        )
+    return out
 
 
 def minhash_lsh_duplicates(
@@ -375,9 +402,31 @@ def incremental_duplicates(
     cost is O(new shard + candidate pairs), not O(union).  Output:
     (a_id, b_id, jaccard) with a_id < b_id.
     """
+    # stored-artifact validation: a band table built under different
+    # parameters or a different seed family shares NO (band, bh) values
+    # with fresh keys — the probe join would silently return zero cross
+    # candidates.  A stamped table (minhash_band_table default) fails
+    # loudly here instead; unstamped tables pass through for callers
+    # managing versioning externally.
+    if "sig_v" in base_bands.columns:
+        want = minhash_params_hash(n, num_hashes, bands)
+        got = base_bands.select("sig_v").limit(1).collect()
+        if got and got[0]["sig_v"] != want:
+            raise ValueError(
+                f"base_bands sig_v {got[0]['sig_v']} != current parameter/"
+                f"seed-family fingerprint {want}: the stored band table was "
+                "built under different MinHash parameters (or an older seed "
+                "family) and cannot be probed — rebuild it with "
+                "minhash_band_table under the current configuration"
+            )
+        base_bands = base_bands.drop("sig_v")
+    # signing the shard is the expensive stage and feeds three join legs
+    # (within l/r + cross l): persist it, like the sibling operators'
+    # shingle scratch — and release before returning
     new_bands = minhash_band_table(
-        new_docs, n=n, text_col=text_col, num_hashes=num_hashes, bands=bands
-    )
+        new_docs, n=n, text_col=text_col, num_hashes=num_hashes, bands=bands,
+        stamp=False,
+    ).persist()
     within = (
         new_bands.alias("l")
         .join(new_bands.alias("r"), on=["band", "bh"])
@@ -396,7 +445,9 @@ def incremental_duplicates(
     # shingle ONLY candidate docs: semi-join the id set into both corpora
     # (pushes down to the scans), then verify with exact Jaccard.  The
     # candidate set is eagerly cut first so the band plan is not replayed
-    # once per shingle side.
+    # once per shingle side, and the candidate shingles are persisted
+    # because verification joins them as BOTH pair sides (the sibling
+    # operators persist their shingle scratch for the same reason).
     ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .unionByName(cand.select(F.col("b_id").alias("doc_id")))
@@ -407,9 +458,11 @@ def incremental_duplicates(
         .unionByName(base_docs.select("doc_id", text_col))
         .join(ids, "doc_id", "left_semi")
     )
-    sh = _shingles(touched, text_col, n)
+    sh = _shingles(touched, text_col, n).persist()
     out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
     cand.unpersist()
+    sh.unpersist()
+    new_bands.unpersist()
     return out
 
 
@@ -420,6 +473,7 @@ def dedup_incremental(
     id_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    validate_snapshot: bool = True,
 ) -> DataFrame:
     """Fold a new shard into an existing dedup verdict WITHOUT re-running
     connected components over the union's duplicate graph.
@@ -440,7 +494,27 @@ def dedup_incremental(
     ids} IS the min doc id of the union component, because each base
     label is already the min of its members.  Verdicts for base groups
     no new pair touches are passed through unchanged (zero recompute).
+
+    Precondition: the snapshot must be MIN-ID policy (the default) — the
+    fold relabels with component-min ids, so a quality-policy snapshot
+    (``score_col``) would silently have its representatives flipped back
+    to min-id.  ``validate_snapshot=True`` (default) fails loudly on
+    such a snapshot with one column-pruned aggregate (kept must equal
+    ``id == group_id`` on every row); pass False only when the snapshot
+    provably came from the default policy and the extra scan matters.
     """
+    if validate_snapshot:
+        bad = base_membership.filter(
+            F.col("kept") != (F.col(id_col) == F.col("group_id"))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"base_membership is not a min-id-policy snapshot ({bad} rows "
+                "have kept != (id == group_id)) — quality-policy (score_col) "
+                "snapshots cannot be folded incrementally: the fold relabels "
+                "with component-min ids and would silently flip the "
+                "representatives back to min-id"
+            )
     base_map = base_membership.select(
         F.col(id_col).alias("_m_id"), F.col("group_id").alias("_m_grp")
     )

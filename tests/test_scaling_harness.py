@@ -141,7 +141,7 @@ def test_witness_refs_disabled_without_floors_file(tmp_path):
         True, floors_path=str(tmp_path / "missing.json")
     )
     assert refs == {}
-    assert "unreadable" in reason
+    assert "unusable" in reason
 
 
 def test_witness_refs_disabled_for_non_default_workload():

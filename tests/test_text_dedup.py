@@ -633,3 +633,57 @@ def test_minhash_band_family_independence():
         if not (sa == sb).reshape(32, 4).all(axis=1).any():
             misses += 1
     assert misses == 0
+
+
+def test_dedup_incremental_no_new_pairs(spark):
+    """A shard with no duplicates at all: every base verdict passes
+    through unchanged and every new doc is its own kept singleton."""
+    base = _docs(spark, [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")])
+    base_pairs = dedup.minhash_lsh_duplicates(base, threshold=0.8)
+    base_m = dedup.dedup_membership(base, base_pairs)
+    new = _docs(spark, [(10, "totally different words here now"), (11, "another unique document text")])
+    empty_pairs = spark.createDataFrame([], "a_id long, b_id long, jaccard double")
+    out = {r.doc_id: (r.group_id, r.kept, r.n_dropped)
+           for r in dedup.dedup_incremental(base_m, new, empty_pairs).collect()}
+    assert out[1] == (1, True, 1)
+    assert out[2] == (1, False, 0)
+    assert out[3] == (3, True, 0)
+    assert out[10] == (10, True, 0)
+    assert out[11] == (11, True, 0)
+    assert len(out) == 5
+
+
+def test_incremental_rejects_stale_band_table(spark):
+    """A stored band table built under a different seed family/params
+    must fail loudly at probe time, not silently match nothing."""
+    base, new, _ = _split_corpus(spark)
+    bands = dedup.minhash_band_table(base)
+    stale = bands.withColumn("sig_v", F.col("sig_v") + 1)
+    with pytest.raises(ValueError, match="fingerprint"):
+        dedup.incremental_duplicates(new, base, stale, threshold=0.8).count()
+    # unstamped tables pass through (caller-managed versioning)
+    ok = dedup.incremental_duplicates(
+        new, base, bands.drop("sig_v"), threshold=0.8
+    )
+    assert ok.count() > 0
+
+
+def test_dedup_incremental_rejects_quality_snapshot(spark):
+    """A quality-policy (score_col) snapshot can't be folded: the fold
+    relabels with component-min ids and would flip representatives."""
+    text = "aa bb cc dd ee ff gg hh"
+    base = spark.createDataFrame(
+        [(1, text, 1), (2, text, 9)], "doc_id long, text string, q int"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)], "a_id long, b_id long, jaccard double"
+    )
+    base_m = dedup.dedup_membership(base, pairs, score_col="q")  # rep = 2
+    new = _docs(spark, [(10, "unique text entirely")])
+    empty = spark.createDataFrame([], "a_id long, b_id long, jaccard double")
+    with pytest.raises(ValueError, match="min-id-policy"):
+        dedup.dedup_incremental(base_m, new, empty)
+    # the min-id snapshot folds fine
+    ok_m = dedup.dedup_membership(base.select("doc_id", "text"), pairs)
+    out = dedup.dedup_incremental(ok_m, new, empty)
+    assert out.count() == 3
