@@ -645,7 +645,8 @@ def main() -> None:
     # ---- incremental dedup at 1M (round-7 verdict #6, scale-proven):
     # a 101k-doc shard folded into an 899k-doc base whose band table was
     # "persisted by a prior run" as a DURABLE BUCKETED table (bucketed
-    # on bh — the stored side of the probe join never re-shuffles), vs
+    # on the probe-join key (band, bh) — the stored side never
+    # re-shuffles; tests/test_bucketed.py pins the plan shape), vs
     # the from-scratch union wall measured above.  Shard shape exercises
     # BOTH candidate paths: whole blocks >= 18000 (within-shard pairs)
     # plus position-1 docs of blocks < 1000 (cross base/shard pairs).
@@ -678,7 +679,8 @@ def main() -> None:
         dedup.minhash_band_table(base1m),
         tbl1m,
         f"{tmp1m}/bands",
-        bucket_cols=["bh"],
+        bucket_cols=["band", "bh"],  # exact probe-join key: subset
+        # bucketing gets "disabled by query planner" and shuffles anyway
         num_buckets=2 * int(cpus),
     )
     new_ids1m = new1m.select(F.col("doc_id").alias("a_id"))

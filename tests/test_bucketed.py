@@ -134,3 +134,44 @@ def test_exchange_count_tree_walk_matches_textual(spark):
             if re.search(r"(?<![A-Za-z])Exchange ", ln)
         )
         assert _count_shuffle_nodes(jplan) == textual == exchange_count(df)
+
+
+def test_stored_band_table_probe_is_stored_side_exchange_free(
+    no_broadcast, tmp_path
+):
+    """The incremental-dedup probe pattern (bench dedup_incremental_1m):
+    the base corpus's band table is written bucketed on the exact join
+    key (band, bh), so the STORED side must plan with zero shuffle
+    Exchanges (only the small shard side shuffles — bucketing on a
+    strict SUBSET like bh alone gets "disabled by query planner" and
+    shuffles both sides).  One Exchange total; the unbucketed twin
+    shuffles both sides."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        minhash_band_table,
+    )
+
+    spark = no_broadcast
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w"), (F.col("id") % 40).cast("string"),
+            F.lit(" x"), (F.col("id") % 7).cast("string"),
+            F.lit(" y"), (F.col("id") % 11).cast("string"),
+            F.lit(" z"), (F.col("id") % 13).cast("string"),
+        ).alias("text"),
+    )
+    stored = write_bucketed(
+        minhash_band_table(docs),
+        "tbk_bands",
+        str(tmp_path / "bands"),
+        ["band", "bh"],
+        8,
+    ).drop("sig_v")
+    fresh = minhash_band_table(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000), stamp=False
+    )
+    probe = fresh.join(stored, ["band", "bh"])
+    n_exchanges = exchange_count(probe)
+    assert n_exchanges <= 1, f"stored side shuffled: {n_exchanges} Exchanges"
+    plain = fresh.join(minhash_band_table(docs, stamp=False), ["band", "bh"])
+    assert exchange_count(plain) == 2
