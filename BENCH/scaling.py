@@ -147,6 +147,14 @@ MINING_PATH_FILES = [
     f"{_ENG}/operators/pairs.py",
     f"{_ENG}/operators/stars.py",
     f"{_ENG}/operators/cells.py",
+    # transitive hot-path deps the wall also tracks: the miner's
+    # per-level WPI/measure aggregation and the subtree plan's bucketed
+    # edge persistence — a 2x-faster measures.py would shift the floors
+    # exactly like a miner.py edit (all six byte-identical since the
+    # round-6 measurements that set the floors, so widening the anchor
+    # does not invalidate them)
+    f"{_ENG}/functions/measures.py",
+    f"{_ENG}/sources/bucketed.py",
 ]
 
 
@@ -161,6 +169,14 @@ def mining_path_hash(repo: str | None = None) -> str:
         with open(os.path.join(repo, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:16]
+
+
+def _safe_mining_path_hash() -> str | None:
+    """mining_path_hash, degraded to None when a source file is absent."""
+    try:
+        return mining_path_hash()
+    except OSError:
+        return None
 
 
 def _load_witness_refs(
@@ -396,7 +412,10 @@ def main() -> None:
         "control_tol": attempts[0]["ctl_pre"]["tol"] if attempts else None,
         "witness_refs_sec": WITNESS_REF,
         "witness_disabled_reason": WITNESS_DISABLED_REASON,
-        "mining_path_sha256_16": mining_path_hash(),
+        # degrade like _load_witness_refs: a missing mining-path file
+        # must not discard a whole campaign's measured attempts at
+        # artifact-write time (the witness path is already disabled)
+        "mining_path_sha256_16": _safe_mining_path_hash(),
         "witness_tol": WITNESS_TOL,
         "attempts": attempts,
         "n_rejected_windows": sum(1 for a in attempts if not a["accepted"]),

@@ -675,37 +675,45 @@ def main() -> None:
     # stored base membership snapshot
     tmp1m = tempfile.mkdtemp(prefix="bands1m_")
     tbl1m = f"bands_1m_{uuid.uuid4().hex[:8]}"
-    stored_bands = write_bucketed(
-        dedup.minhash_band_table(base1m),
-        tbl1m,
-        f"{tmp1m}/bands",
-        bucket_cols=["band", "bh"],  # exact probe-join key: subset
-        # bucketing gets "disabled by query planner" and shuffles anyway
-        num_buckets=2 * int(cpus),
-    )
-    new_ids1m = new1m.select(F.col("doc_id").alias("a_id"))
-    base_pairs1m = (
-        pairs1m.join(new_ids1m, "a_id", "left_anti")
-        .join(new_ids1m.withColumnRenamed("a_id", "b_id"), "b_id", "left_anti")
-        .select("a_id", "b_id", "jaccard")
-        .localCheckpoint(eager=True)
-    )
-    base_m1m = dedup.dedup_membership(base1m, base_pairs1m).localCheckpoint(
-        eager=True
-    )
-
-    def _incremental():
-        inc_pairs = dedup.incremental_duplicates(
-            new1m, base1m, stored_bands, threshold=0.8
+    # try/finally: a failed leg must not strand the ~32M-row bucketed
+    # band table (parquet dir + catalog entry) across bench retries
+    try:
+        stored_bands = write_bucketed(
+            dedup.minhash_band_table(base1m),
+            tbl1m,
+            f"{tmp1m}/bands",
+            bucket_cols=["band", "bh"],  # exact probe-join key: subset
+            # bucketing gets "disabled by query planner" and shuffles anyway
+            num_buckets=2 * int(cpus),
         )
-        verdict = dedup.dedup_incremental(base_m1m, new1m, inc_pairs)
-        kept = verdict.filter("kept").count()
-        return inc_pairs.count(), kept, verdict.count()
+        new_ids1m = new1m.select(F.col("doc_id").alias("a_id"))
+        base_pairs1m = (
+            pairs1m.join(new_ids1m, "a_id", "left_anti")
+            .join(
+                new_ids1m.withColumnRenamed("a_id", "b_id"), "b_id", "left_anti"
+            )
+            .select("a_id", "b_id", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+        base_m1m = dedup.dedup_membership(base1m, base_pairs1m).localCheckpoint(
+            eager=True
+        )
 
-    inc_pairs_n, inc_kept, inc_rows = timed("dedup_incremental_1m", _incremental)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl1m}")
-    shutil.rmtree(tmp1m, ignore_errors=True)
-    new1m.unpersist()
+        def _incremental():
+            inc_pairs = dedup.incremental_duplicates(
+                new1m, base1m, stored_bands, threshold=0.8
+            )
+            verdict = dedup.dedup_incremental(base_m1m, new1m, inc_pairs)
+            kept = verdict.filter("kept").count()
+            return inc_pairs.count(), kept, verdict.count()
+
+        inc_pairs_n, inc_kept, inc_rows = timed(
+            "dedup_incremental_1m", _incremental
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl1m}")
+        shutil.rmtree(tmp1m, ignore_errors=True)
+        new1m.unpersist()
 
     corpus1m.unpersist()
     expected_max_chunk = (DEDUP_TPD * DEDUP_SCALE_N - 1) // DEDUP_PACK_SEQ

@@ -110,12 +110,18 @@ def decode_real(buf: bytes) -> tuple[np.ndarray, str]:
         px = np.asarray(img.convert("RGB"), dtype=np.uint8)
     except Exception as e:  # undecodable bytes: same error contract as fake
         raise ValueError(f"PIL could not decode payload: {e}") from e
-    # normalize to the documented {png, jpeg} contract: any other
-    # PIL-detected format (gif, webp, bmp, ...) decoded losslessly to RGB
-    # is reported as "png" — the lossless member of the contract — so a
-    # decode -> encode round-trip always re-encodes and downstream code
-    # branching on fmt never sees values outside the contract
-    return px, ("jpeg" if fmt in ("jpg", "jpeg") else "png")
+    # the documented contract is {png, jpeg}: any other PIL-detected
+    # format (gif, webp, bmp, ...) fails AT DECODE TIME rather than
+    # being relabeled — reporting, say, a lossy WebP payload as "png"
+    # would let a mislabeled row slip past image_table's declared-format
+    # integrity check (sources/image_table.py: fmt_dec != fmt)
+    if fmt in ("jpg", "jpeg"):
+        return px, "jpeg"
+    if fmt == "png":
+        return px, "png"
+    raise ValueError(
+        f"decoded format {fmt!r} outside the {{png, jpeg}} contract"
+    )
 
 
 # ------------------------------------------------------------------ checks

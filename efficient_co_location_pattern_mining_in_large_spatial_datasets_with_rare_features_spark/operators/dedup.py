@@ -33,16 +33,10 @@ from ..functions import text as T
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
 
-def _splitmix64(h: int) -> int:
-    """Full-avalanche 64-bit mix (same finalizer as similarity._mix)."""
-    m = (1 << 64) - 1
-    h &= m
-    h ^= h >> 30
-    h = (h * 0xBF58476D1CE4E5B9) & m
-    h ^= h >> 27
-    h = (h * 0x94D049BB133111EB) & m
-    h ^= h >> 31
-    return h
+# one splitmix64 in the package: MINHASH_SEEDS and minhash_params_hash
+# derive from this finalizer, so a second diverging copy would silently
+# invalidate every stored band table
+from .similarity import _mix as _splitmix64  # noqa: E402
 
 
 #: affine MinHash seeds h_i(x) = (a_i*x + b_i) mod p.  The a_i MUST be
@@ -410,14 +404,22 @@ def incremental_duplicates(
     # managing versioning externally.
     if "sig_v" in base_bands.columns:
         want = minhash_params_hash(n, num_hashes, bands)
-        got = base_bands.select("sig_v").limit(1).collect()
-        if got and got[0]["sig_v"] != want:
+        # min AND max, not a single sampled row: a table appended to
+        # across a parameter/seed-family change holds MIXED sig_v eras,
+        # and sampling one row would let every stale-era (band, bh) row
+        # silently match zero fresh keys.  One skinny-column partial-agg
+        # scan; empty tables (both null) pass — nothing to mismatch.
+        lohi = base_bands.agg(
+            F.min("sig_v").alias("lo"), F.max("sig_v").alias("hi")
+        ).collect()[0]
+        stale = [v for v in (lohi["lo"], lohi["hi"]) if v is not None and v != want]
+        if stale:
             raise ValueError(
-                f"base_bands sig_v {got[0]['sig_v']} != current parameter/"
-                f"seed-family fingerprint {want}: the stored band table was "
-                "built under different MinHash parameters (or an older seed "
-                "family) and cannot be probed — rebuild it with "
-                "minhash_band_table under the current configuration"
+                f"base_bands sig_v {stale[0]} != current parameter/"
+                f"seed-family fingerprint {want}: the stored band table "
+                "holds rows built under different MinHash parameters (or "
+                "an older seed family) and cannot be probed — rebuild it "
+                "with minhash_band_table under the current configuration"
             )
         base_bands = base_bands.drop("sig_v")
     # signing the shard is the expensive stage and feeds three join legs

@@ -174,6 +174,13 @@ def test_decode_routes_real_payloads_to_pil(monkeypatch):
     # fake-codec payloads still take the hermetic path with PIL "present"
     rt, fmt = I.decode(I.encode(px, "png"))
     assert fmt == "png" and np.array_equal(rt, px)
+    # out-of-contract formats fail at decode time instead of being
+    # relabeled "png" — relabeling would let a mislabeled (say, lossy
+    # WebP) payload slip past image_table's fmt_dec != fmt integrity
+    # check and flow through the pipeline as the lossless member
+    FakeImg.format = "WEBP"
+    with pytest.raises(ValueError, match="outside the"):
+        I.decode_real(b"RIFFxxxxWEBPdata")
 
 
 def test_decode_real_error_contract(monkeypatch):

@@ -668,6 +668,20 @@ def test_incremental_rejects_stale_band_table(spark):
     assert ok.count() > 0
 
 
+def test_incremental_rejects_mixed_era_band_table(spark):
+    """A band table APPENDED to across a parameter change holds mixed
+    sig_v eras; validation must catch it even when a sampled row would
+    have been current-era (the one-row limit(1) check this replaced
+    passed such tables and silently lost stale-era candidates)."""
+    base, new, _ = _split_corpus(spark)
+    bands = dedup.minhash_band_table(base)
+    mixed = bands.unionByName(
+        bands.limit(3).withColumn("sig_v", F.col("sig_v") - 7)
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        dedup.incremental_duplicates(new, base, mixed, threshold=0.8).count()
+
+
 def test_dedup_incremental_rejects_quality_snapshot(spark):
     """A quality-policy (score_col) snapshot can't be folded: the fold
     relabels with component-min ids and would flip representatives."""
