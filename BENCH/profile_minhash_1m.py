@@ -47,8 +47,8 @@ def main() -> None:
         dedup,
     )
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
-        _band_keys,
-        _minhash_from_shingles,
+        _band_rows,
+        _gram_hashes,
         _shingles,
         _verified_jaccard_pairs,
     )
@@ -69,26 +69,14 @@ def main() -> None:
     corpus = bench.synth_dedup_corpus(spark, n_docs, parts=2 * cpus).persist()
     timed("corpus", corpus.count)
 
-    sh = _shingles(corpus, "text", 2).persist()
-    timed("shingle", lambda: sh.agg(F.sum(F.size("sh"))).collect())
+    gh = _gram_hashes(corpus, "text", 2).persist()
+    timed("gramhash", lambda: gh.agg(F.sum(F.size("gh"))).collect())
 
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            "sh", lambda g: F.pmod(F.xxhash64(g), F.lit(dedup.MINHASH_PRIME))
-        ).alias("hs"),
-    ).persist()
-    timed("hash", lambda: hashed.agg(F.sum(F.size("hs"))).collect())
-
-    # sign stage: _minhash_from_shingles re-derives the hash projection
-    # internally, but its upstream (sh) is persisted and already counted,
-    # so this wall = JVM hashing (measured above as `hash`) + Arrow
-    # transfer + numpy mins; sign-only ~= sign - hash
-    sigs = _minhash_from_shingles(sh, 128).persist()
-    timed("sign", lambda: sigs.agg(F.sum(F.size("sig"))).collect())
-
-    banded = _band_keys(sigs, 128, 32).persist()
-    timed("band", lambda: banded.count())
+    # fused sign+band+explode: Arrow in (int64 gram hashes), 128 numpy
+    # mins + splitmix band fold per row, skinny band ROWS out (never an
+    # array column under a Generate — see _band_rows on why)
+    banded = _band_rows(gh, 128, 32).persist()
+    timed("signband", lambda: banded.count())
 
     cand = (
         banded.alias("l")
@@ -100,12 +88,20 @@ def main() -> None:
     )
     n_cand = timed("selfjoin", cand.count)
 
-    pairs = timed(
-        "verify",
-        lambda: _verified_jaccard_pairs(cand, sh, 0.8).count(),
-    )
+    def _verify():
+        ids = (
+            cand.select(F.col("a_id").alias("doc_id"))
+            .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        sh = _shingles(
+            corpus.join(ids, "doc_id", "left_semi"), "text", 2
+        )
+        return _verified_jaccard_pairs(cand, sh, 0.8).count()
 
-    for df in (cand, banded, sigs, hashed, sh):
+    pairs = timed("verify", _verify)
+
+    for df in (cand, banded, gh):
         df.unpersist()
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()

@@ -200,19 +200,51 @@ def ngram_jaccard_duplicates(
     return out
 
 
+def _gram_hashes(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, distinct int64 token-n-gram hashes) — the minhash input.
+
+    ``xxhash64`` takes the n tokens AS SEPARATE ARGUMENTS, so no gram
+    STRING is ever materialized: the string-shingle twin ``_shingles``
+    allocates one slice + one concat per gram (~2x the corpus in
+    transient strings at 40-token docs, 16 of the 45 s at 1M docs —
+    BENCH/profile_minhash_1m.py), and minhash only ever consumes the
+    HASH of the gram.  String shingles are still built for the exact-
+    Jaccard verify stage, but only for candidate docs (a ~10^-2
+    fraction).  Same traps as functions.text.token_ngrams: Spark's
+    ``sequence(1, 0)`` descends instead of being empty, so short docs
+    get an explicit empty array; tokens are projected first (no CSE in
+    interpreted HOFs)."""
+    toks = docs.select("doc_id", T.tokens(F.col(text_col)).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("t"), i + j) for j in range(n)]
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(F.size("t") >= n, grams).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("gh"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 2, text_col: str = "text", num_hashes: int = 128
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[num_hashes]) MinHash signatures.
 
-    h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p over the distinct
-    shingle set — all JVM-side expressions.  Empty docs get an empty
-    signature.
+    h_i(x) = (a_i * pmod(xxhash64(gram), p) + b_i) mod p over the
+    distinct token-n-gram set.  Empty docs get an empty signature.
     """
-    return _minhash_from_shingles(_shingles(docs, text_col, n), num_hashes)
+    return _minhash_from_gram_hashes(
+        _gram_hashes(docs, text_col, n), num_hashes
+    )
 
 
-def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
+def _minhash_from_gram_hashes(gh: DataFrame, num_hashes: int = 128) -> DataFrame:
     """Signatures via one numpy broadcast-min per Arrow batch.
 
     History of this shape: a nested-transform formulation re-ran the
@@ -221,20 +253,22 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     (explode + 128 plain min aggregates) fixed that but measured 11 s
     at sf0.1 anyway — a 128-buffer HashAggregate exceeds
     spark.sql.codegen.maxFields and runs interpreted, and raising the
-    knob did not restore codegen.  Round 5: hash each shingle JVM-side
+    knob did not restore codegen.  Round 5: hash each gram JVM-side
     (xxhash64 stays Spark-specific), then compute all 128 mins as a
-    single (num_hashes x n_shingles) numpy broadcast per row inside an
+    single (num_hashes x n_grams) numpy broadcast per row inside an
     Arrow batch — no shuffle at all (the aggregate's exchange is gone
-    too; signatures are per-row).  Exact same integers: a*h+b < 2^63,
-    so int64 never overflows, and numpy's % matches pmod.
-    """
+    too; signatures are per-row).  Round 8: the mod-p reduction moved
+    into the batch too (numpy ``%`` matches Spark ``pmod`` for negative
+    ints), so the JVM sends raw xxhash64 values.  Exact same integers
+    as the aggregate formula: h mod p < 2^33 and a < 2^30, so a*h + b
+    < 2^63 never overflows int64 (pinned bit-for-bit by
+    tests/test_text_dedup.py)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     seeds = MINHASH_SEEDS[:num_hashes]
     a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
     b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
-    # a < 2^30, h < p < 2^33: a*h + b < 2^63 — exact in int64 (see seeds)
     p = np.int64(MINHASH_PRIME)
     empty: list[int] = []
 
@@ -243,49 +277,84 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
         def one(h):
             if h is None or len(h) == 0:
                 return empty
-            hv = np.asarray(h, dtype=np.int64)[None, :]
+            hv = np.asarray(h, dtype=np.int64)[None, :] % p
             return ((a * hv + b) % p).min(axis=1).tolist()  # (128, n) -> mins
 
         return hs.map(one)
 
-    # pmod, not abs(...)%p: abs(Long.MIN_VALUE) is negative on the JVM
-    # (2^-64-per-shingle odds, but free to exclude structurally)
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            "sh", lambda g: F.pmod(F.xxhash64(g), F.lit(MINHASH_PRIME))
-        ).alias("hs"),
-    )
-    # docs with no shingles get an empty signature (excluded from banding)
-    return hashed.select("doc_id", sig_udf("hs").alias("sig"))
+    return gh.select("doc_id", sig_udf("gh").alias("sig"))
 
 
-def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, bh) LSH band keys from (doc_id, sig) signatures.
+#: splitmix64 constants for the vectorized band fold (documented basis:
+#: bh_B = fold over the band's ``rows`` signature values v_k of
+#: h <- mix(h xor (v_k + k*GOLD)), h0 = GOLD, mix = splitmix64 finalizer)
+_BF_GOLD = 0x9E3779B97F4A7C15
+_BF_M1 = 0xBF58476D1CE4E5B9
+_BF_M2 = 0x94D049BB133111EB
 
-    One 8-byte hash per band of ``num_hashes // bands`` signature rows;
-    empty signatures (shingle-less docs) are excluded.  Band keys are a
-    pure per-doc function of the text, so a stored band table composes
-    with freshly computed ones (the incremental-dedup contract)."""
+
+def _band_rows(gh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) LSH band rows — signatures, band fold AND the
+    explode in ONE ``mapInPandas`` pass.
+
+    The 128 per-row minhashes never leave the Python worker: the band
+    fold (splitmix64 over each band's ``rows`` consecutive signature
+    values) runs vectorized on the (bands, rows) matrix right after the
+    mins, so the JVM receives 32 skinny int64 band rows per doc instead
+    of 128 signatures, and the old JVM-side xxhash-over-slice banding
+    pass disappears (was 8 of the 45 s at 1M docs —
+    BENCH/profile_minhash_1m.py).  The rows are EMITTED from the worker
+    rather than posexplode-d from an array-returning UDF: Catalyst's
+    InferFiltersFromGenerate infers ``size(col) > 0`` under a Generate
+    and pushes it into a SECOND ArrowEvalPython, silently re-running
+    the whole tokenize->gram->sign pipeline per row (measured 54 s vs
+    8.5 s for the UDF itself at 1M docs).  Shingle-less docs emit no
+    band rows, matching the old explicit size filter."""
+    import numpy as np
+
     rows = num_hashes // bands
-    return (
-        sigs.filter(F.size("sig") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bi: F.struct(
-                        bi.alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", bi * rows + 1, rows)
-                        ).alias("bh"),
-                    ),
+    seeds = MINHASH_SEEDS[:num_hashes]
+    a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
+    b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
+    p = np.int64(MINHASH_PRIME)
+    m64 = (1 << 64) - 1
+    # python-int precompute so no numpy SCALAR multiply can overflow-warn
+    k_mul = [np.uint64((k * _BF_GOLD) & m64) for k in range(rows)]
+    u30, u27, u31 = np.uint64(30), np.uint64(27), np.uint64(31)
+    um1, um2 = np.uint64(_BF_M1), np.uint64(_BF_M2)
+    band_idx = np.arange(bands, dtype=np.int32)
+
+    def _mix_vec(x):  # uint64 ndarray: splitmix64 finalizer, wraps mod 2^64
+        x = (x ^ (x >> u30)) * um1
+        x = (x ^ (x >> u27)) * um2
+        return x ^ (x >> u31)
+
+    def emit(batches):
+        for pdf in batches:
+            ids, bhs = [], []
+            for doc, h in zip(pdf["doc_id"].values, pdf["gh"].values):
+                if h is None or len(h) == 0:
+                    continue
+                hv = np.asarray(h, dtype=np.int64)[None, :] % p
+                sig = ((a * hv + b) % p).min(axis=1)  # (num_hashes,)
+                v = sig.astype(np.uint64).reshape(bands, rows)  # 0 <= sig < p
+                acc = np.full(bands, np.uint64(_BF_GOLD))
+                for k in range(rows):
+                    acc = _mix_vec(acc ^ (v[:, k] + k_mul[k]))
+                ids.append(doc)
+                bhs.append(acc.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(
+                            np.asarray(ids, dtype=np.int64), bands
+                        ),
+                        "band": np.tile(band_idx, len(ids)),
+                        "bh": np.concatenate(bhs),
+                    }
                 )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.bh")
-    )
+
+    return gh.mapInPandas(emit, "doc_id long, band int, bh long")
 
 
 def minhash_params_hash(n: int = 2, num_hashes: int = 128, bands: int = 32) -> int:
@@ -295,8 +364,13 @@ def minhash_params_hash(n: int = 2, num_hashes: int = 128, bands: int = 32) -> i
     family — the round-8 family replacement is exactly such an event)
     share no (band, bh) values, so a stale stored table would silently
     produce ZERO cross-corpus candidates; the fingerprint turns that
-    silent miss into a loud error (see ``incremental_duplicates``)."""
-    h = _splitmix64((n << 40) ^ (num_hashes << 20) ^ bands)
+    silent miss into a loud error (see ``incremental_duplicates``).
+
+    The trailing ``^ 2`` is the KEY-BASIS version: v2 = token-argument
+    xxhash64 grams + in-batch splitmix64 band fold (round 8; v1 was
+    string-gram xxhash64 + JVM xxhash-over-slice banding — v1 tables
+    fail the probe-time fingerprint check and must be rebuilt)."""
+    h = _splitmix64((n << 40) ^ (num_hashes << 20) ^ (bands << 3) ^ 2)
     for a, b in MINHASH_SEEDS[:num_hashes]:
         h = _splitmix64(h ^ a)
         h = _splitmix64(h ^ b)
@@ -313,7 +387,8 @@ def minhash_band_table(
 ) -> DataFrame:
     """Durable LSH index of a corpus: (doc_id, band, bh), one row per
     (doc, band).  This is the "stored signatures" artifact a pipeline
-    persists (e.g. as a bucketed table on ``bh``) so future shards can be
+    persists (e.g. as a table bucketed on ``(band, bh)``, the exact
+    probe-join key — tests/test_bucketed.py) so future shards can be
     deduplicated against the corpus WITHOUT recomputing its signatures —
     see ``incremental_duplicates``.  Skinny by construction: 32 rows of
     (id, int, int64) per doc regardless of document length.
@@ -323,11 +398,7 @@ def minhash_band_table(
     parquet a constant column RLE-encodes to ~nothing, and probe-time
     validation catches a stored table whose keys were built under
     different parameters before it silently matches no candidates."""
-    out = _band_keys(
-        minhash_signatures(docs, n=n, text_col=text_col, num_hashes=num_hashes),
-        num_hashes,
-        bands,
-    )
+    out = _band_rows(_gram_hashes(docs, text_col, n), num_hashes, bands)
     if stamp:
         out = out.withColumn(
             "sig_v", F.lit(minhash_params_hash(n, num_hashes, bands)).cast("long")
@@ -347,17 +418,50 @@ def minhash_lsh_duplicates(
 
     Output contract (same as ngram_jaccard_duplicates): pairs with exact
     word-n-gram Jaccard >= threshold; LSH is the candidate generator.
+
+    Scale shape (round 8): the corpus-wide pass computes only int64
+    gram hashes and band keys (no gram strings, no signature transfer —
+    see _gram_hashes/_band_hash_arrays); string shingles are built
+    SOLELY for candidate docs (a semi-join that pushes the candidate-id
+    filter into the scan), mirroring incremental_duplicates.  At 1M
+    synthetic docs that moved the operator from ~45 s to the sum of
+    ~8 s banding + ~10 s self-join + ~2 s verify.
     """
-    sh = _shingles(docs, text_col, n).persist()
-    sigs = _minhash_from_shingles(sh, num_hashes)
-    banded = _band_keys(sigs, num_hashes, bands)
+    # persisted because the self-join consumes it as BOTH sides: an
+    # unpersisted band table is recomputed once per join leg, i.e. the
+    # whole tokenize->gram->sign Python pipeline runs twice (the sibling
+    # incremental_duplicates persists its shard bands for the same
+    # three-leg reason); released before returning like all dedup scratch
+    banded = minhash_band_table(
+        docs,
+        n=n,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        stamp=False,
+    ).persist()
+    # the candidate cut is eagerly materialized: it feeds the id set
+    # (twice) and the verify join, and without the cut each consumer
+    # would replay the band self-join
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
+        text_col,
+        n,
+    ).persist()
     # eager result + scratch release — see ngram_jaccard_duplicates (the
     # persisted shingle frame must not outlive the call in the session's
     # cache registry)

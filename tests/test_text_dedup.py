@@ -434,29 +434,32 @@ def test_text_module_imports_without_pandas_at_module_scope():
 
 
 def test_minhash_numpy_matches_aggregate_formula(spark):
-    """The Arrow/numpy signature path must reproduce the 128-aggregate
-    formula min((a*h+b) mod p) bit-for-bit — guards the vectorized
-    rewrite against drift."""
+    """The Arrow/numpy signature path must reproduce the per-seed
+    aggregate formula min((a*pmod(h,p)+b) mod p) bit-for-bit over the
+    SAME gram-hash basis — guards the vectorized rewrite against drift."""
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
         MINHASH_PRIME,
         MINHASH_SEEDS,
-        _minhash_from_shingles,
-        _shingles,
+        _gram_hashes,
+        minhash_signatures,
     )
 
     docs = _docs(
         spark,
         [(1, "a b c d e f"), (2, "b c d e"), (3, ""), (4, "one-token")],
     )
-    sh = _shingles(docs, "text", 2)
-    got = {r["doc_id"]: list(r["sig"]) for r in _minhash_from_shingles(sh, 8).collect()}
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, num_hashes=8).collect()
+    }
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS[:8])
     ]
     ref = (
-        sh.select("doc_id", F.explode("sh").alias("g"))
-        .select("doc_id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_PRIME)).alias("h"))
+        _gram_hashes(docs, "text", 2)
+        .select("doc_id", F.explode("gh").alias("g"))
+        .select("doc_id", F.pmod(F.col("g"), F.lit(MINHASH_PRIME)).alias("h"))
         .groupBy("doc_id")
         .agg(*aggs)
         .select("doc_id", F.array(*[f"s{i}" for i in range(8)]).alias("sig"))
@@ -466,6 +469,89 @@ def test_minhash_numpy_matches_aggregate_formula(spark):
         assert got[k] == v, k
     # shingle-less docs carry an EMPTY signature (excluded from banding)
     assert got[3] == [] and got[4] == []
+
+
+def test_gram_hash_basis_matches_string_shingles(spark):
+    """The int64 gram-hash basis must induce the SAME distinct-gram
+    set sizes as the string-shingle basis the verify stage uses — the
+    exact-Jaccard contract depends on both sides agreeing on what a
+    distinct n-gram is (hash collisions aside, 2^-64 per gram pair)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        _gram_hashes,
+        _shingles,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),          # repeated grams collapse
+            (2, "x y z x y"),
+            (3, ""),
+            (4, "solo"),
+            (5, "a b c d e f g h"),
+        ],
+    )
+    ns = {
+        r["doc_id"]: r["k"]
+        for r in _gram_hashes(docs, "text", 2)
+        .select("doc_id", F.size("gh").alias("k"))
+        .collect()
+    }
+    nh = {
+        r["doc_id"]: r["k"]
+        for r in _shingles(docs, "text", 2)
+        .select("doc_id", F.size("sh").alias("k"))
+        .collect()
+    }
+    assert ns == nh
+
+
+def test_band_fold_matches_python_reference(spark):
+    """The fused in-batch band fold must equal an independent python
+    reimplementation over the signatures the public API returns —
+    pins the (band, bh) key derivation the stored-table contract
+    depends on."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        _BF_GOLD,
+        _BF_M1,
+        _BF_M2,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    m64 = (1 << 64) - 1
+
+    def mix(x):
+        x &= m64
+        x = ((x ^ (x >> 30)) * _BF_M1) & m64
+        x = ((x ^ (x >> 27)) * _BF_M2) & m64
+        return x ^ (x >> 31)
+
+    docs = _docs(
+        spark, [(1, "a b c d e f g h i"), (2, "b c d e"), (3, "")]
+    )
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, num_hashes=8).collect()
+    }
+    got = {
+        (r["doc_id"], r["band"]): r["bh"]
+        for r in minhash_band_table(
+            docs, num_hashes=8, bands=4, stamp=False
+        ).collect()
+    }
+    want = {}
+    for d, sig in sigs.items():
+        if not sig:  # shingle-less docs emit no band rows
+            continue
+        for band in range(4):
+            acc = _BF_GOLD
+            for k, v in enumerate(sig[band * 2 : band * 2 + 2]):
+                acc = mix(acc ^ ((v + k * _BF_GOLD) & m64))
+            # uint64 -> int64 two's-complement view
+            want[(d, band)] = acc - (1 << 64) if acc >= (1 << 63) else acc
+    assert got == {k: v for k, v in want.items()}
+    assert (1, 0) in got and all((3, b) not in got for b in range(4))
 
 
 def test_pair_dot_null_vector_yields_null_dot(spark):
