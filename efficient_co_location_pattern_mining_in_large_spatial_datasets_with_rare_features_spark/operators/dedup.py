@@ -140,11 +140,22 @@ def ngram_jaccard_duplicates(
     order, so blocking on prefixes only is exact while hot shingles ("the
     of"-style n-grams shared by half the corpus) never become join keys —
     that skew otherwise yields O(df^2) candidates from a single shingle.
+
+    Scale shape (round 8, mirroring minhash_lsh_duplicates): the inverted
+    index is built over int64 gram HASHES (_gram_hashes — multi-argument
+    xxhash64, no gram string materialized), so the two index shuffles
+    (df counts, the per-doc rank window) move 8-byte keys instead of
+    ~70-byte strings; the global prefix order becomes (df, hash) — any
+    deterministic total order shared by both docs keeps the prefix filter
+    exact.  String shingles are built only for candidate docs (semi-join)
+    for the exact-Jaccard verify; sizes agree between the two bases up to
+    2^-64 hash collisions (pinned by
+    tests/test_text_dedup.py::test_gram_hash_basis_matches_string_shingles).
     """
     from pyspark.sql.window import Window
 
-    sh = _shingles(docs, text_col, n).persist()
-    inv = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    gh = _gram_hashes(docs, text_col, n).persist()
+    inv = gh.select("doc_id", F.size("gh").alias("sz"), F.explode("gh").alias("g"))
     df_counts = inv.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
     prefix = (
@@ -184,19 +195,32 @@ def ngram_jaccard_duplicates(
             F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
         )
         .distinct()
+        # eagerly cut so the verify join does not replay the prefix
+        # self-join, and so the index scratch can be released NOW
+        .localCheckpoint(eager=True)
     )
-    # Scratch release (round-7 diagnosis): the two persisted frames above
-    # were session leaks — every call left its shingle + prefix caches in
-    # the cache registry forever, and the accumulated storage blocks
-    # inflated the *next* memory-hungry operator in a long session 3-5x
-    # (bench: 3.75 s isolated vs 20.4 s after a suite prefix, back to
-    # 4.4 s after clearCache).  Eagerly materialize the compact verified
-    # pair set (duplicate pairs are O(dup-rate x docs), tiny next to the
-    # corpus), then drop the scratch; the checkpoint's own blocks are
+    # Scratch release (round-7 diagnosis): persisted frames left in the
+    # cache registry were session leaks — every call left its index
+    # caches pinned forever, and the accumulated storage blocks inflated
+    # the *next* memory-hungry operator in a long session 3-5x (bench:
+    # 3.75 s isolated vs 20.4 s after a suite prefix, back to 4.4 s
+    # after clearCache).  The checkpointed candidate cut is compact
+    # (duplicate pairs are O(dup-rate x docs)) and its blocks are
     # GC-managed, not registry-pinned.
+    gh.unpersist()
+    prefix.unpersist()
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
+        text_col,
+        n,
+    ).persist()
     out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
     sh.unpersist()
-    prefix.unpersist()
     return out
 
 
@@ -424,8 +448,10 @@ def minhash_lsh_duplicates(
     see _gram_hashes/_band_hash_arrays); string shingles are built
     SOLELY for candidate docs (a semi-join that pushes the candidate-id
     filter into the scan), mirroring incremental_duplicates.  At 1M
-    synthetic docs that moved the operator from ~45 s to the sum of
-    ~8 s banding + ~10 s self-join + ~2 s verify.
+    synthetic docs the operator runs end-to-end in ~21 s (was 45-62 s
+    in round 7); the staged attribution is ~4 s gram hashing + ~8 s
+    sign+band + ~11 s self-join + ~5 s verify
+    (BENCH/profile_minhash_last.json).
     """
     # persisted because the self-join consumes it as BOTH sides: an
     # unpersisted band table is recomputed once per join leg, i.e. the
