@@ -445,7 +445,7 @@ def minhash_lsh_duplicates(
 
     Scale shape (round 8): the corpus-wide pass computes only int64
     gram hashes and band keys (no gram strings, no signature transfer —
-    see _gram_hashes/_band_hash_arrays); string shingles are built
+    see _gram_hashes/_band_rows); string shingles are built
     SOLELY for candidate docs (a semi-join that pushes the candidate-id
     filter into the scan), mirroring incremental_duplicates.  At 1M
     synthetic docs the operator runs end-to-end in ~21 s (was 45-62 s
