@@ -128,6 +128,34 @@ def _verified_jaccard_pairs(
     )
 
 
+def _verify_candidates(
+    cand: DataFrame, docs: DataFrame, text_col: str, n: int, threshold: float
+) -> DataFrame:
+    """Shared verification tail of the three pair generators (n-gram,
+    MinHash, incremental): shingle ONLY candidate docs — the id semi-join
+    pushes down into the doc scan, so corpus text is touched for a
+    ~10^-2 candidate fraction — then keep pairs with exact word-n-gram
+    Jaccard >= threshold.  ``cand`` must already be eagerly cut (each
+    caller localCheckpoints its candidate set so this tail cannot replay
+    the candidate join).  The shingle frame is persisted because the
+    verify join consumes it as BOTH pair sides, and released before
+    return (dedup scratch must never outlive its call in the session's
+    cache registry — the round-7 leak diagnosis)."""
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
+        text_col,
+        n,
+    ).persist()
+    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
 def ngram_jaccard_duplicates(
     docs: DataFrame, threshold: float = 0.8, n: int = 2, text_col: str = "text"
 ) -> DataFrame:
@@ -209,19 +237,7 @@ def ngram_jaccard_duplicates(
     # GC-managed, not registry-pinned.
     gh.unpersist()
     prefix.unpersist()
-    ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingles(
-        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
-        text_col,
-        n,
-    ).persist()
-    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return _verify_candidates(cand, docs, text_col, n, threshold)
 
 
 def _gram_hashes(docs: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -268,6 +284,30 @@ def minhash_signatures(
     )
 
 
+def _make_sig_fn(num_hashes: int):
+    """sig(h) -> (num_hashes,) int64 minhash vector of one doc's gram-hash
+    list — THE single definition of the signature math (seed layout, mod-p
+    placement, broadcast-min).  ``_minhash_from_gram_hashes`` (the public
+    signatures) and ``_band_rows`` (stored band-table keys) both close over
+    this, so the two can never silently diverge: a divergence would make a
+    stored table probe zero candidates while ``minhash_params_hash`` —
+    which only fingerprints the seeds/params, not the formula — still
+    matched.  h mod p < 2^33 and a < 2^30, so a*h + b < 2^63 never
+    overflows int64 (pinned bit-for-bit by tests/test_text_dedup.py)."""
+    import numpy as np
+
+    seeds = MINHASH_SEEDS[:num_hashes]
+    a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
+    b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
+    p = np.int64(MINHASH_PRIME)
+
+    def sig(h):
+        hv = np.asarray(h, dtype=np.int64)[None, :] % p
+        return ((a * hv + b) % p).min(axis=1)  # (num_hashes, n) -> mins
+
+    return sig
+
+
 def _minhash_from_gram_hashes(gh: DataFrame, num_hashes: int = 128) -> DataFrame:
     """Signatures via one numpy broadcast-min per Arrow batch.
 
@@ -284,16 +324,11 @@ def _minhash_from_gram_hashes(gh: DataFrame, num_hashes: int = 128) -> DataFrame
     too; signatures are per-row).  Round 8: the mod-p reduction moved
     into the batch too (numpy ``%`` matches Spark ``pmod`` for negative
     ints), so the JVM sends raw xxhash64 values.  Exact same integers
-    as the aggregate formula: h mod p < 2^33 and a < 2^30, so a*h + b
-    < 2^63 never overflows int64 (pinned bit-for-bit by
-    tests/test_text_dedup.py)."""
-    import numpy as np
+    as the aggregate formula: the signature math itself lives in
+    ``_make_sig_fn`` (one definition shared with the band-table path)."""
     from pyspark.sql.functions import pandas_udf
 
-    seeds = MINHASH_SEEDS[:num_hashes]
-    a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
-    b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
-    p = np.int64(MINHASH_PRIME)
+    sig = _make_sig_fn(num_hashes)
     empty: list[int] = []
 
     @pandas_udf("array<bigint>")
@@ -301,8 +336,7 @@ def _minhash_from_gram_hashes(gh: DataFrame, num_hashes: int = 128) -> DataFrame
         def one(h):
             if h is None or len(h) == 0:
                 return empty
-            hv = np.asarray(h, dtype=np.int64)[None, :] % p
-            return ((a * hv + b) % p).min(axis=1).tolist()  # (128, n) -> mins
+            return sig(h).tolist()
 
         return hs.map(one)
 
@@ -333,14 +367,22 @@ def _band_rows(gh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     and pushes it into a SECOND ArrowEvalPython, silently re-running
     the whole tokenize->gram->sign pipeline per row (measured 54 s vs
     8.5 s for the UDF itself at 1M docs).  Shingle-less docs emit no
-    band rows, matching the old explicit size filter."""
+    band rows, matching the old explicit size filter.
+
+    ``doc_id`` passes through at its INPUT type (the output schema is
+    derived from ``gh``): integral ids take the packed int64 numpy path,
+    anything else (string/uuid ids — supported by every sibling operator)
+    rides an object array and Arrow casts on the way out."""
     import numpy as np
 
     rows = num_hashes // bands
-    seeds = MINHASH_SEEDS[:num_hashes]
-    a = np.array([s[0] for s in seeds], dtype=np.int64)[:, None]
-    b = np.array([s[1] for s in seeds], dtype=np.int64)[:, None]
-    p = np.int64(MINHASH_PRIME)
+    sig_fn = _make_sig_fn(num_hashes)
+    id_ddl = gh.schema["doc_id"].dataType.simpleString()
+    id_np = (
+        np.int64
+        if id_ddl in ("bigint", "int", "smallint", "tinyint")
+        else object
+    )
     m64 = (1 << 64) - 1
     # python-int precompute so no numpy SCALAR multiply can overflow-warn
     k_mul = [np.uint64((k * _BF_GOLD) & m64) for k in range(rows)]
@@ -359,8 +401,7 @@ def _band_rows(gh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             for doc, h in zip(pdf["doc_id"].values, pdf["gh"].values):
                 if h is None or len(h) == 0:
                     continue
-                hv = np.asarray(h, dtype=np.int64)[None, :] % p
-                sig = ((a * hv + b) % p).min(axis=1)  # (num_hashes,)
+                sig = sig_fn(h)  # (num_hashes,) — the shared definition
                 v = sig.astype(np.uint64).reshape(bands, rows)  # 0 <= sig < p
                 acc = np.full(bands, np.uint64(_BF_GOLD))
                 for k in range(rows):
@@ -371,14 +412,14 @@ def _band_rows(gh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.repeat(
-                            np.asarray(ids, dtype=np.int64), bands
+                            np.asarray(ids, dtype=id_np), bands
                         ),
                         "band": np.tile(band_idx, len(ids)),
                         "bh": np.concatenate(bhs),
                     }
                 )
 
-    return gh.mapInPandas(emit, "doc_id long, band int, bh long")
+    return gh.mapInPandas(emit, f"doc_id {id_ddl}, band int, bh long")
 
 
 def minhash_params_hash(n: int = 2, num_hashes: int = 128, bands: int = 32) -> int:
@@ -478,22 +519,7 @@ def minhash_lsh_duplicates(
         .localCheckpoint(eager=True)
     )
     banded.unpersist()
-    ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingles(
-        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
-        text_col,
-        n,
-    ).persist()
-    # eager result + scratch release — see ngram_jaccard_duplicates (the
-    # persisted shingle frame must not outlive the call in the session's
-    # cache registry)
-    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return _verify_candidates(cand, docs, text_col, n, threshold)
 
 
 def incremental_duplicates(
@@ -520,12 +546,36 @@ def incremental_duplicates(
     equals ``minhash_lsh_duplicates(base UNION new)`` restricted the
     same way (tests/test_text_dedup.py pins the equality).
 
-    Scale shape: the base corpus is never re-signed; its TEXT is
-    touched only for docs that appear in a candidate pair (a semi-join
-    that pushes the candidate-id filter into the base scan), so the
-    cost is O(new shard + candidate pairs), not O(union).  Output:
-    (a_id, b_id, jaccard) with a_id < b_id.
+    Scale shape: a STORED ``base_bands`` (parquet/bucketed table) is
+    never re-signed; its TEXT is touched only for docs that appear in a
+    candidate pair (a semi-join that pushes the candidate-id filter into
+    the base scan), so the cost is O(new shard + candidate pairs), not
+    O(union).  A base_bands frame passed LAZILY (straight from
+    ``minhash_band_table`` without a write) still contains the Python
+    sign+band stage in its plan and is consumed by two actions here
+    (the sig_v validation agg + the probe join) — such frames are
+    auto-persisted for the duration of the call so the base pipeline
+    runs once, mirroring the scratch policy of the sibling operators.
+    Output: (a_id, b_id, jaccard) with a_id < b_id strictly — a doc
+    re-ingested in the new shard under an id already present in the
+    base (same id = same doc) never pairs with itself.
     """
+    # lazy-caller guard: persist iff the plan still computes bands in
+    # Python AND the caller has not persisted it already (stored tables
+    # are plain scans — persisting those would burn cache for nothing
+    # and, at 100 TB, is exactly what a caller must NOT do)
+    own_persist = None
+    sl = base_bands.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        try:
+            computed = "MapInPandas" in (
+                base_bands._jdf.queryExecution().optimizedPlan().toString()
+            )
+        except Exception:  # plan introspection is best-effort only
+            computed = False
+        if computed:
+            own_persist = base_bands.persist()
+            base_bands = own_persist
     # stored-artifact validation: a band table built under different
     # parameters or a different seed family shares NO (band, bh) values
     # with fresh keys — the probe join would silently return zero cross
@@ -568,34 +618,31 @@ def incremental_duplicates(
     cross = (
         new_bands.alias("l")
         .join(base_bands.alias("r"), on=["band", "bh"])
+        # a shard doc whose id already exists in the base (re-ingest)
+        # band-matches ITSELF in every band: least/greatest folds that to
+        # a degenerate (x, x) row, excluded here so the a_id < b_id
+        # output contract holds even on overlapping inputs
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
         .select(
             F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("a_id"),
             F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("b_id"),
         )
     )
-    cand = within.unionByName(cross).distinct().persist()
-    # shingle ONLY candidate docs: semi-join the id set into both corpora
-    # (pushes down to the scans), then verify with exact Jaccard.  The
-    # candidate set is eagerly cut first so the band plan is not replayed
-    # once per shingle side, and the candidate shingles are persisted
-    # because verification joins them as BOTH pair sides (the sibling
-    # operators persist their shingle scratch for the same reason).
-    ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
+    # eagerly cut so the band plans are not replayed once per verify
+    # consumer (the shared tail joins cand three ways)
+    cand = within.unionByName(cross).distinct().localCheckpoint(eager=True)
+    new_bands.unpersist()
+    if own_persist is not None:
+        own_persist.unpersist()
+    # verify against the union corpus, shingling each overlap doc ONCE:
+    # the same id appearing in both inputs (same id = same doc) would
+    # otherwise fan out every pair that touches it in the verify join
     touched = (
         new_docs.select("doc_id", text_col)
         .unionByName(base_docs.select("doc_id", text_col))
-        .join(ids, "doc_id", "left_semi")
+        .dropDuplicates(["doc_id"])
     )
-    sh = _shingles(touched, text_col, n).persist()
-    out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
-    cand.unpersist()
-    sh.unpersist()
-    new_bands.unpersist()
-    return out
+    return _verify_candidates(cand, touched, text_col, n, threshold)
 
 
 def dedup_incremental(

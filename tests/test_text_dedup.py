@@ -787,3 +787,87 @@ def test_dedup_incremental_rejects_quality_snapshot(spark):
     ok_m = dedup.dedup_membership(base.select("doc_id", "text"), pairs)
     out = dedup.dedup_incremental(ok_m, new, empty)
     assert out.count() == 3
+
+
+def test_minhash_family_string_doc_ids(spark):
+    """Round-8 regression guard: the fused sign+band pass must accept
+    NON-integer doc ids (UUID-style string ids are the common corpus key;
+    every sibling operator — ngram, membership, contraction — supports
+    them).  The band-table schema must carry the input id type through."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            ("doc-aaaa", text),
+            ("doc-bbbb", text + " tail"),
+            ("doc-cccc", "entirely different words everywhere nothing shared"),
+        ],
+        "doc_id string, text string",
+    )
+    bands = dedup.minhash_band_table(docs)
+    assert bands.schema["doc_id"].dataType.simpleString() == "string"
+    pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {("doc-aaaa", "doc-bbbb")}
+    # and the incremental probe path over string ids
+    inc = dedup.incremental_duplicates(
+        spark.createDataFrame([("doc-dddd", text)], "doc_id string, text string"),
+        docs,
+        bands,
+        threshold=0.5,
+    ).collect()
+    assert {(r.a_id, r.b_id) for r in inc} == {
+        ("doc-aaaa", "doc-dddd"),
+        ("doc-bbbb", "doc-dddd"),
+    }
+
+
+def test_incremental_overlap_doc_no_self_pairs(spark):
+    """Re-ingesting a shard that contains an already-indexed doc (same id,
+    same text) must not emit degenerate (x, x) pairs or fan out the pairs
+    that touch the overlap doc — the a_id < b_id contract holds on
+    overlapping inputs."""
+    text = "zero one two three four five six seven eight nine ten eleven"
+    base = spark.createDataFrame(
+        [(1, text), (2, text + " tail"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    # doc 1 is ALREADY in the base; doc 4 is genuinely new and near doc 1
+    new = spark.createDataFrame(
+        [(1, text), (4, text + " coda")], "doc_id long, text string"
+    )
+    bands = dedup.minhash_band_table(base)
+    rows = dedup.incremental_duplicates(new, base, bands, threshold=0.5).collect()
+    got = [(r.a_id, r.b_id) for r in rows]
+    assert all(a < b for a, b in got), f"self/descending pair leaked: {got}"
+    assert len(got) == len(set(got)), f"verify fan-out duplicated rows: {got}"
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_incremental_lazy_base_detection(spark):
+    """Pin the plan-introspection heuristic that auto-persists a LAZILY
+    passed base_bands (so the base pipeline runs once, not once per
+    action): a fresh minhash_band_table plan contains the Python
+    MapInPandas stage; the same table read back from parquet does not.
+    If a Spark upgrade renames the node, this fails loudly instead of
+    silently reverting to double-compute."""
+    import tempfile
+
+    docs = _docs(spark, [(1, "some words to sign and band")])
+    lazy = dedup.minhash_band_table(docs)
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan
+    with tempfile.TemporaryDirectory() as d:
+        lazy.write.mode("overwrite").parquet(f"{d}/bands")
+        stored = spark.read.parquet(f"{d}/bands")
+        splan = stored._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in splan
+        # and both shapes produce identical incremental results
+        new = _docs(spark, [(2, "some words to sign and band")])
+        a = {
+            (r.a_id, r.b_id)
+            for r in dedup.incremental_duplicates(new, docs, lazy, threshold=0.5).collect()
+        }
+        b = {
+            (r.a_id, r.b_id)
+            for r in dedup.incremental_duplicates(new, docs, stored, threshold=0.5).collect()
+        }
+        assert a == b == {(1, 2)}
