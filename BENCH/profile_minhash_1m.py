@@ -49,8 +49,7 @@ def main() -> None:
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
         _band_rows,
         _gram_hashes,
-        _shingles,
-        _verified_jaccard_pairs,
+        _verify_candidates,
     )
 
     spark = eng.get_spark(f"local[{cpus}]", shuffle_partitions=2 * cpus)
@@ -88,18 +87,12 @@ def main() -> None:
     )
     n_cand = timed("selfjoin", cand.count)
 
-    def _verify():
-        ids = (
-            cand.select(F.col("a_id").alias("doc_id"))
-            .unionByName(cand.select(F.col("b_id").alias("doc_id")))
-            .distinct()
-        )
-        sh = _shingles(
-            corpus.join(ids, "doc_id", "left_semi"), "text", 2
-        )
-        return _verified_jaccard_pairs(cand, sh, 0.8).count()
-
-    pairs = timed("verify", _verify)
+    # the operator's own verify tail (shingle persist included), so the
+    # stage wall measures exactly what the operator pays — a hand copy
+    # here had drifted (unpersisted shingles -> double shingle scan)
+    pairs = timed(
+        "verify", lambda: _verify_candidates(cand, corpus, "text", 2, 0.8).count()
+    )
 
     for df in (cand, banded, gh):
         df.unpersist()
