@@ -159,3 +159,47 @@ def test_current_tree_hash_matches_anchor():
     with open(os.path.join(_BENCH, "witness_floors.json")) as f:
         pinned = json.load(f)["mining_path_sha256_16"]
     assert scaling.mining_path_hash() == pinned
+
+
+# ---- bench.py's rerun-headline rule (late-r08: rerun tiebreak on clean
+# controls — the control runs after the entry and cannot see a wave that
+# lived inside the entry window; reproduction in the same-process rerun
+# is what separates a transient from a plan-level regression) ----
+
+
+def _bench_mod():
+    import importlib.util as _ilu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _ilu.spec_from_file_location("bench_hl", os.path.join(root, "bench.py"))
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_headline_dirty_control_takes_min():
+    b = _bench_mod()
+    w, tag, _ = b.headline_verdict(39.5, 10.8, ctl_clean=False, exp=12.2)
+    assert (w, tag) == (10.8, "min")
+    # and a slower rerun under a dirty control still keeps the best wall
+    w, tag, _ = b.headline_verdict(8.7, 18.2, ctl_clean=False, exp=3.6)
+    assert (w, tag) == (8.7, "min")
+
+
+def test_headline_clean_control_transient_inside_entry_window():
+    b = _bench_mod()
+    # the observed decontaminate case: clean control, rerun back at the
+    # steady reference -> transient, rerun becomes the headline
+    w, tag, _ = b.headline_verdict(39.5, 10.8, ctl_clean=True, exp=12.2)
+    assert (w, tag) == (10.8, "rerun")
+
+
+def test_headline_clean_control_reproduced_slowness_fails_loudly():
+    b = _bench_mod()
+    # rerun still ~3x the reference: the slowness reproduces -> real
+    # regression, the first wall stands (no warm-rerun masking)
+    w, tag, _ = b.headline_verdict(39.5, 35.0, ctl_clean=True, exp=12.2)
+    assert (w, tag) == (39.5, "first")
+    # boundary: rerun exactly at the steady factor counts as recovered
+    w, tag, _ = b.headline_verdict(30.0, b.RERUN_STEADY_FACTOR * 12.2, True, 12.2)
+    assert tag == "rerun"
