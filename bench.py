@@ -643,6 +643,15 @@ def main() -> None:
         lambda: dedup.minhash_lsh_duplicates(corpus1m, threshold=0.8),
     )  # operator eagerly checkpoints: the call IS the work
     n_pairs1m = pairs1m.count()
+    # the OTHER dedup family over the same corpus: PPJoin prefix-filtered
+    # inverted index (no banding).  Both families share the exact-Jaccard
+    # output contract, so false positives are impossible and matching the
+    # closed-form count pins the IDENTICAL pair set two independent
+    # physical paths found — the strongest cross-check the corpus offers.
+    n_ngram1m = timed(
+        "dedup_ngram_1m",
+        lambda: dedup.ngram_jaccard_duplicates(corpus1m, threshold=0.8).count(),
+    )
     member_counts = timed(
         "dedup_membership_1m",
         lambda: dedup.dedup_membership(corpus1m, pairs1m)
@@ -751,6 +760,7 @@ def main() -> None:
     dedup_scale = {
         "n_docs": n_corpus1m,
         "pairs": n_pairs1m,
+        "ngram_pairs": n_ngram1m,
         "expected_pairs": exp1m["expected_pairs"],
         "kept": kept1m,
         "expected_kept": exp1m["expected_kept"],
@@ -768,6 +778,7 @@ def main() -> None:
         "inc_rows": inc_rows,
         "invariants_ok": bool(
             n_pairs1m == exp1m["expected_pairs"]
+            and n_ngram1m == exp1m["expected_pairs"]
             and kept1m == exp1m["expected_kept"]
             and total1m == n_corpus1m == DEDUP_SCALE_N
             and apply1m == exp1m["expected_kept"]
