@@ -203,3 +203,20 @@ def test_headline_clean_control_reproduced_slowness_fails_loudly():
     # boundary: rerun exactly at the steady factor counts as recovered
     w, tag, _ = b.headline_verdict(30.0, b.RERUN_STEADY_FACTOR * 12.2, True, 12.2)
     assert tag == "rerun"
+
+
+def test_bench_probe_pause_wrapper(tmp_path):
+    """bench.py claims the watcher pause file for the suite duration and
+    removes it ONLY if it created it (a pre-existing pause — e.g. an
+    operator manually holding the window — must survive the run)."""
+    import os
+
+    b = _bench_mod()
+    pause = str(tmp_path / "pause")
+    b._SCALE_PAUSE = pause
+    seen = []
+    b._with_probe_pause(lambda: seen.append(os.path.exists(pause)))
+    assert seen == [True] and not os.path.exists(pause)
+    open(pause, "w").close()
+    b._with_probe_pause(lambda: None)
+    assert os.path.exists(pause)
