@@ -65,6 +65,22 @@ def wide(n: int) -> list[float]:
     return out
 
 
+#: best single-process per-miss cost observed on this box (2026-08-19
+#: calibration, BENCH/probe_host_latency_r8.json); used by callers as
+#: the healthy reference for an N-wide latency gate
+BEST_SINGLE_NS = 163.9
+
+
+def probe(n: int) -> dict:
+    """One N-wide latency sample for gating: mean/max ns per miss."""
+    w = wide(n)
+    return {
+        "lat_n": n,
+        "lat_wide_mean_ns": round(sum(w) / n * 1e9, 1),
+        "lat_wide_max_ns": round(max(w) * 1e9, 1),
+    }
+
+
 def main() -> None:
     if "--one" in sys.argv:
         print(chase())

@@ -23,9 +23,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from control import control  # noqa: E402
+from probe_mem_latency import BEST_SINGLE_NS, probe as lat_probe  # noqa: E402
 
 PROBE_EVERY = float(os.environ.get("SPARK_GRAFT_WATCH_EVERY", "600"))
 PAUSE_FILE = os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "/tmp/scaling_pause")
+
+#: max 32-wide mean per-miss cost (relative to the healthy single
+#: reference) for a window to be worth a campaign.  Round-8 forensics
+#: (BENCH/probe_host_latency_r8.json): a register-CLEAN window fired a
+#: campaign whose 10 attempts all rejected — the register burn cannot
+#: see latency starvation, and the mining leg is latency-bound.  The
+#: 00:28 fire would have been skipped by this gate; healthy hardware
+#: sits well under 1.35x at 32-wide.
+LAT_GATE = float(os.environ.get("SPARK_GRAFT_WATCH_LAT_GATE", "1.35"))
 
 
 def main() -> None:
@@ -39,10 +49,15 @@ def main() -> None:
         if time.time() >= deadline:
             break
         c = control(32)
+        if c["clean"]:
+            # second gate: the register burn cannot witness latency
+            # starvation, which is what actually flattens the leg
+            c.update(lat_probe(32))
+            c["lat_ok"] = c["lat_wide_mean_ns"] <= LAT_GATE * BEST_SINGLE_NS
         with open(log, "a") as f:
             f.write(json.dumps(c) + "\n")
         print(json.dumps(c), flush=True)
-        if c["clean"]:
+        if c["clean"] and c.get("lat_ok"):
             print("clean 32-wide window — launching 8->32 campaign", flush=True)
             env = dict(
                 os.environ,
