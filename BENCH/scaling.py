@@ -60,15 +60,36 @@ def build_instances(spark, rep: int):
     )
 
 
+def shuffle_partitions_for(cpus: int, env) -> int:
+    """Shuffle-partition count for one leg (unit-tested)."""
+    per_core = env.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
+    if per_core:
+        return int(per_core) * cpus
+    return int(env.get("SPARK_GRAFT_SHUFFLE", "64"))
+
+
 def run_one(cpus: int) -> dict:
     import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark as eng
 
+    # Two shuffle-sizing modes:
+    #   * fixed (default 64): identical plan at every parallelism level,
+    #     AQE coalesces for the smaller core counts — the config every
+    #     pre-round-8 figure (and the witness floors) was taken under;
+    #   * per-core (SPARK_GRAFT_SHUFFLE_PER_CORE=K): partitions = K*cpus,
+    #     i.e. each level runs the config a real cluster of that size
+    #     would (partitions ~ 2-16x total cores).  Round-8 A/B
+    #     (BENCH/probe_shuffle_ab_32.json): at 32 cores the 2M-instance
+    #     wall is 264 s at 64 partitions vs 117 s at 512 in the SAME
+    #     window — at 64 the level-3 clique join runs 2 task waves whose
+    #     stragglers idle most of the socket, so the fixed-64 comparison
+    #     understates wide-level scaling by >2x.  Per-core mode is a
+    #     non-default workload: witness floors are disabled and every
+    #     leg must pass the strict control sandwich.
+    shuffle = shuffle_partitions_for(cpus, os.environ)
     spark = eng.get_spark(
         f"local[{cpus}]",
         app_name=f"scaling-{cpus}",
-        # identical plan at every parallelism level: fixed partition count,
-        # AQE coalesces for the smaller core counts
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+        shuffle_partitions=shuffle,
         # honest N-core simulation: without this the JVM sizes GC/JIT
         # thread pools for all 32 machine cores, giving the small-N leg
         # free parallelism and deflating measured scaling efficiency
@@ -100,6 +121,7 @@ def run_one(cpus: int) -> dict:
     wall = time.time() - t0
     out = {
         "cpus": cpus,
+        "shuffle_partitions": shuffle,
         "n_instances": n,
         "wall_sec": round(wall, 2),
         "rows_per_sec": round(n / wall, 1),
@@ -131,6 +153,7 @@ _DEFAULT_WORKLOAD = (
     and SF_DIR == "/root/testdata/sf0.1"
     and os.environ.get("SPARK_GRAFT_SCALE_PLAN", "subtree") == "subtree"
     and os.environ.get("SPARK_GRAFT_SHUFFLE", "64") == "64"
+    and not os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
     and not os.environ.get("SPARK_GRAFT_SCALE_EXTRA")
 )
 

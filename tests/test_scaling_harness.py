@@ -220,3 +220,30 @@ def test_bench_probe_pause_wrapper(tmp_path):
     open(pause, "w").close()
     b._with_probe_pause(lambda: None)
     assert os.path.exists(pause)
+
+
+# --- per-cluster-size shuffle sizing (round-8 A/B follow-up) ---
+def test_shuffle_partitions_fixed_default():
+    assert scaling.shuffle_partitions_for(8, {}) == 64
+    assert scaling.shuffle_partitions_for(32, {"SPARK_GRAFT_SHUFFLE": "128"}) == 128
+
+
+def test_shuffle_partitions_per_core_scales_with_cpus():
+    env = {"SPARK_GRAFT_SHUFFLE_PER_CORE": "16"}
+    assert scaling.shuffle_partitions_for(8, env) == 128
+    assert scaling.shuffle_partitions_for(32, env) == 512
+    # per-core wins over a stale fixed override
+    env["SPARK_GRAFT_SHUFFLE"] = "64"
+    assert scaling.shuffle_partitions_for(32, env) == 512
+
+
+def test_per_core_shuffle_disables_witness_floors(monkeypatch):
+    """Per-core shuffle sizing is a workload-affecting override: the
+    witness floors were measured under fixed-64 and must not accept
+    per-core walls (BENCH/probe_shuffle_ab_32.json shows the 32-wide
+    wall differs >2x between the two configs)."""
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PER_CORE", "16")
+    fresh = _load("scaling")
+    assert fresh._DEFAULT_WORKLOAD is False
+    assert fresh.WITNESS_REF == {}
+    assert "non-default workload" in fresh.WITNESS_DISABLED_REASON
