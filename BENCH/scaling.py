@@ -440,6 +440,9 @@ def main() -> None:
         # artifact-write time (the witness path is already disabled)
         "mining_path_sha256_16": _safe_mining_path_hash(),
         "witness_tol": WITNESS_TOL,
+        # per-leg partitions also land in each run dict; this echoes the
+        # mode so the artifact is self-describing without the env
+        "shuffle_per_core": os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE"),
         "attempts": attempts,
         "n_rejected_windows": sum(1 for a in attempts if not a["accepted"]),
         f"accepted_runs_{lo}": [r["wall_sec"] for r in accepted[lo]],
