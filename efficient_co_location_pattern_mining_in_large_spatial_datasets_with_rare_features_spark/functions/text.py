@@ -126,7 +126,16 @@ def token_ngrams_vec(n: int, distinct: bool = False):
         return tok.map(one)
 
     grams.__annotations__ = {"tok": pd.Series, "return": pd.Series}
-    return pandas_udf(grams, "array<string>")
+    # asNondeterministic is an optimizer fence, not a semantics change
+    # (the function is pure): without it, every consumer that explodes
+    # the gram array pays the InferFiltersFromGenerate trap — Catalyst
+    # infers ``size(sh) > 0`` under the Generate and pushes it into a
+    # SECOND ArrowEvalPython, re-running the whole 13-gram build per row
+    # (round-9 plan audit: shingle_contamination evaluated this UDF
+    # twice on both the 1M corpus side and the benchmark side).  Callers
+    # filter/semi-join BEFORE applying the UDF throughout this package,
+    # so no beneficial pushdown is lost.
+    return pandas_udf(grams, "array<string>").asNondeterministic()
 
 
 def stopword_hits(col: Column, lang: str) -> Column:

@@ -210,14 +210,22 @@ def lsh_topk(
     # exchange) shuffled ~bands x vector-bytes per corpus row and
     # measured ~10x slower at 100k x 64 dims — identical output.
     sigs = band_signatures(dim, r, bands)
-    sig_rows = (
-        embeddings.select(
-            F.col(id_col).alias("id"), sigs(F.col(vec_col)).alias("sigs")
+
+    def _sig_rows(src: DataFrame) -> DataFrame:
+        return (
+            src.select(
+                F.col(id_col).alias("id"), sigs(F.col(vec_col)).alias("sigs")
+            )
+            .select("id", F.posexplode("sigs"))
+            .select("id", F.col("pos").alias("band"), F.col("col").alias("sig"))
         )
-        .select("id", F.posexplode("sigs"))
-        .select("id", F.col("pos").alias("band"), F.col("col").alias("sig"))
-    )
-    q = sig_rows.filter(F.col("id").isin(query_ids)).select(
+
+    # query rows are filtered BEFORE the signature UDF: the UDF is a
+    # nondeterministic-marked fence (see band_signatures), so a filter
+    # placed above it would no longer push down — and the corpus side
+    # must never compute signatures twice for the query subset's sake
+    sig_rows = _sig_rows(embeddings)
+    q = _sig_rows(embeddings.filter(F.col(id_col).isin(query_ids))).select(
         F.col("id").alias("query_id"), "band", "sig"
     )
     if multiprobe:
@@ -316,6 +324,11 @@ def ivf_topk(
         order = np.argsort(-dots, axis=1, kind="stable")
         return pd.Series(list(order.astype(np.int32)))
 
+    # same optimizer fence as band_signatures: the query side explodes a
+    # slice of this UDF's output, and the Generate-inferred filter would
+    # otherwise re-run the assignment matmul in a second ArrowEvalPython
+    _ranked_cells = _ranked_cells.asNondeterministic()
+
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         quantize(F.col(vec_col)).alias("cv"),
@@ -380,7 +393,14 @@ def band_signatures(dim: int, r: int = 12, b: int = 64):
         packed = bits.reshape(len(m), b, r).astype(np.int64) @ weights  # (n, b)
         return pd.Series(list(packed))
 
-    return _sigs
+    # optimizer fence (pure function, unchanged output): every caller
+    # posexplodes the signature array, and InferFiltersFromGenerate
+    # otherwise pushes an inferred size>0 filter into a SECOND
+    # ArrowEvalPython — the full corpus matmul ran twice per side
+    # (round-9 plan audit of lsh_topk / embedding_duplicates).  Callers
+    # pre-filter query rows before applying the UDF, so nothing needs to
+    # push past it.
+    return _sigs.asNondeterministic()
 
 
 def embedding_duplicates(
@@ -421,9 +441,13 @@ def embedding_duplicates(
         )
 
     sigs = band_signatures(dim, r, b)
+    # persisted because the self-join consumes it as BOTH legs — an
+    # unpersisted signature table runs the plane matmul once per leg;
+    # the candidate cut is eagerly materialized so the scratch can be
+    # released before returning (the dedup.py scratch discipline)
     keyed = embeddings.select(
         F.col(id_col).alias("id"), F.posexplode(sigs(F.col(vec_col)))
-    ).select("id", F.col("pos").alias("band"), F.col("col").alias("sig"))
+    ).select("id", F.col("pos").alias("band"), F.col("col").alias("sig")).persist()
     cand = (
         keyed.alias("a")
         .join(
@@ -434,7 +458,9 @@ def embedding_duplicates(
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    keyed.unpersist()
     av = embeddings.select(
         F.col(id_col).alias("a_id"), quantize(F.col(vec_col)).alias("av")
     )
