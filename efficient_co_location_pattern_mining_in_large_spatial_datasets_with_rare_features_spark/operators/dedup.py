@@ -182,7 +182,12 @@ def ngram_jaccard_duplicates(
     """
     from pyspark.sql.window import Window
 
-    gh = _gram_hashes(docs, text_col, n).persist()
+    from ._ckpt import unpersist_ckpt
+
+    # eager localCheckpoint, not .persist(): the SQL cache's columnar
+    # encode of these scratch frames costs multiples of the checkpoint's
+    # plain row blocks at 1M docs (same A/B as minhash_lsh_duplicates)
+    gh = _gram_hashes(docs, text_col, n).localCheckpoint(eager=True)
     inv = gh.select("doc_id", F.size("gh").alias("sz"), F.explode("gh").alias("g"))
     df_counts = inv.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
@@ -194,7 +199,7 @@ def ngram_jaccard_duplicates(
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
         .select("doc_id", "sz", "pos", "g")
-    ).persist()  # self-joined below: without this the window runs twice
+    ).localCheckpoint(eager=True)  # self-joined below: without this the window runs twice
     # Two exact candidate prunes (PPJoin family):
     # - size compatibility: J >= t implies t*|B| <= |A|;
     # - position filter: with both shingle lists in the same global order, a
@@ -227,16 +232,16 @@ def ngram_jaccard_duplicates(
         # self-join, and so the index scratch can be released NOW
         .localCheckpoint(eager=True)
     )
-    # Scratch release (round-7 diagnosis): persisted frames left in the
-    # cache registry were session leaks — every call left its index
+    # Scratch release (round-7 diagnosis): scratch left in the registry
+    # or block store was a session leak — every call left its index
     # caches pinned forever, and the accumulated storage blocks inflated
     # the *next* memory-hungry operator in a long session 3-5x (bench:
     # 3.75 s isolated vs 20.4 s after a suite prefix, back to 4.4 s
     # after clearCache).  The checkpointed candidate cut is compact
     # (duplicate pairs are O(dup-rate x docs)) and its blocks are
     # GC-managed, not registry-pinned.
-    gh.unpersist()
-    prefix.unpersist()
+    unpersist_ckpt(gh)
+    unpersist_ckpt(prefix)
     return _verify_candidates(cand, docs, text_col, n, threshold)
 
 
@@ -305,6 +310,23 @@ def _make_sig_fn(num_hashes: int):
         hv = np.asarray(h, dtype=np.int64)[None, :] % p
         return ((a * hv + b) % p).min(axis=1)  # (num_hashes, n) -> mins
 
+    def sig_batch(flat, starts):
+        """(num_hashes, n_docs) minhash matrix over MANY docs at once:
+        ``flat`` is the concatenated gram-hash array, ``starts`` the
+        per-doc segment starts (every segment non-empty).  Identical
+        integers to ``sig`` per segment — same (a*h+b) mod p terms, the
+        per-doc min taken by ``np.minimum.reduceat`` instead of a
+        Python-level loop over docs (the round-8 ``_band_rows`` emit
+        loop ran ``sig`` once per doc; at 1M docs the interpreter
+        overhead was most of the 8 s signing stage).  In-place ops keep
+        one (num_hashes, n_grams) intermediate."""
+        hv = np.asarray(flat, dtype=np.int64)[None, :] % p
+        m = a * hv
+        m += b
+        m %= p
+        return np.minimum.reduceat(m, starts, axis=1)
+
+    sig.batch = sig_batch
     return sig
 
 
@@ -395,29 +417,62 @@ def _band_rows(gh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         x = (x ^ (x >> u27)) * um2
         return x ^ (x >> u31)
 
+    # docs per signing slice are bounded so the (num_hashes, n_grams)
+    # intermediate stays ~16 MB per worker (32 concurrent workers on the
+    # bench host); the slice loop is over ~tens of slices per Arrow
+    # batch, not per doc
+    gram_budget = max(2_000_000 // max(num_hashes, 1), 1024)
+
     def emit(batches):
         for pdf in batches:
-            ids, bhs = [], []
-            for doc, h in zip(pdf["doc_id"].values, pdf["gh"].values):
-                if h is None or len(h) == 0:
-                    continue
-                sig = sig_fn(h)  # (num_hashes,) — the shared definition
-                v = sig.astype(np.uint64).reshape(bands, rows)  # 0 <= sig < p
-                acc = np.full(bands, np.uint64(_BF_GOLD))
-                for k in range(rows):
-                    acc = _mix_vec(acc ^ (v[:, k] + k_mul[k]))
-                ids.append(doc)
-                bhs.append(acc.view(np.int64))
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.repeat(
-                            np.asarray(ids, dtype=id_np), bands
-                        ),
-                        "band": np.tile(band_idx, len(ids)),
-                        "bh": np.concatenate(bhs),
-                    }
+            gh_vals = pdf["gh"].values
+            n_in = len(gh_vals)
+            if n_in == 0:
+                continue
+            lens = np.fromiter(
+                (0 if h is None else len(h) for h in gh_vals),
+                dtype=np.int64,
+                count=n_in,
+            )
+            keep = lens > 0  # shingle-less docs emit no band rows
+            nk = int(keep.sum())
+            if nk == 0:
+                continue
+            ids_k = pdf["doc_id"].values[keep]
+            if id_np is np.int64:
+                ids_k = ids_k.astype(np.int64, copy=False)
+            lens_k = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h, kp in zip(gh_vals, keep) if kp]
+            )
+            ends = np.cumsum(lens_k)
+            starts = ends - lens_k
+            bh_parts = []
+            i0 = 0
+            while i0 < nk:
+                base = int(starts[i0])
+                j = int(np.searchsorted(ends, base + gram_budget, side="right"))
+                j = max(j, i0 + 1)  # a single huge doc still forms a slice
+                # (num_hashes, nd) mins for docs [i0, j) — the shared
+                # signature definition, batched (bit-identical to sig())
+                sig = sig_fn.batch(
+                    flat[base : int(ends[j - 1])], starts[i0:j] - base
                 )
+                nd = j - i0
+                # per-doc (bands, rows) layout == sig.reshape(bands, rows)
+                v = sig.T.reshape(nd, bands, rows).astype(np.uint64)
+                acc = np.full((nd, bands), np.uint64(_BF_GOLD))
+                for k in range(rows):
+                    acc = _mix_vec(acc ^ (v[:, :, k] + k_mul[k]))
+                bh_parts.append(acc.reshape(-1).view(np.int64))
+                i0 = j
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids_k, bands),
+                    "band": np.tile(band_idx, nk),
+                    "bh": np.concatenate(bh_parts),
+                }
+            )
 
     return gh.mapInPandas(emit, f"doc_id {id_ddl}, band int, bh long")
 
@@ -494,11 +549,16 @@ def minhash_lsh_duplicates(
     sign+band + ~11 s self-join + ~5 s verify
     (BENCH/profile_minhash_last.json).
     """
-    # persisted because the self-join consumes it as BOTH sides: an
-    # unpersisted band table is recomputed once per join leg, i.e. the
-    # whole tokenize->gram->sign Python pipeline runs twice (the sibling
-    # incremental_duplicates persists its shard bands for the same
-    # three-leg reason); released before returning like all dedup scratch
+    # materialized because the self-join consumes it as BOTH sides: an
+    # unmaterialized band table is recomputed once per join leg, i.e. the
+    # whole tokenize->gram->sign Python pipeline runs twice.  Eager
+    # localCheckpoint, NOT .persist(): the SQL cache stores these 32M
+    # skinny rows COLUMNAR-COMPRESSED, and that encode pass measured
+    # 35-60 s at 1M docs where the checkpoint's plain row blocks cost
+    # ~2 s (round-9 A/B, BENCH/extra_r09.jsonl) — released before
+    # returning like all dedup scratch
+    from ._ckpt import unpersist_ckpt
+
     banded = minhash_band_table(
         docs,
         n=n,
@@ -506,7 +566,7 @@ def minhash_lsh_duplicates(
         num_hashes=num_hashes,
         bands=bands,
         stamp=False,
-    ).persist()
+    ).localCheckpoint(eager=True)
     # the candidate cut is eagerly materialized: it feeds the id set
     # (twice) and the verify join, and without the cut each consumer
     # would replay the band self-join
@@ -518,7 +578,7 @@ def minhash_lsh_duplicates(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    banded.unpersist()
+    unpersist_ckpt(banded)
     return _verify_candidates(cand, docs, text_col, n, threshold)
 
 
@@ -560,11 +620,16 @@ def incremental_duplicates(
     re-ingested in the new shard under an id already present in the
     base (same id = same doc) never pairs with itself.
     """
-    # lazy-caller guard: persist iff the plan still computes bands in
+    from ._ckpt import unpersist_ckpt
+
+    # lazy-caller guard: materialize iff the plan still computes bands in
     # Python AND the caller has not persisted it already (stored tables
-    # are plain scans — persisting those would burn cache for nothing
-    # and, at 100 TB, is exactly what a caller must NOT do)
-    own_persist = None
+    # are plain scans — materializing those would burn storage for
+    # nothing and, at 100 TB, is exactly what a caller must NOT do).
+    # Eager localCheckpoint, not .persist(): the SQL cache's columnar
+    # encode costs multiples of plain row blocks on skinny band rows
+    # (same round-9 A/B as minhash_lsh_duplicates).
+    own_ckpt = None
     sl = base_bands.storageLevel
     if not (sl.useMemory or sl.useDisk):
         try:
@@ -574,8 +639,33 @@ def incremental_duplicates(
         except Exception:  # plan introspection is best-effort only
             computed = False
         if computed:
-            own_persist = base_bands.persist()
-            base_bands = own_persist
+            own_ckpt = base_bands.localCheckpoint(eager=True)
+            base_bands = own_ckpt
+    try:
+        return _incremental_body(
+            new_docs, base_docs, base_bands, threshold, n, text_col,
+            num_hashes, bands,
+        )
+    finally:
+        # scratch must not outlive the call even on the validation-error
+        # path (round-8 ADVICE: the stale-table ValueError used to exit
+        # with the auto-materialized base scratch still pinned)
+        if own_ckpt is not None:
+            unpersist_ckpt(own_ckpt)
+
+
+def _incremental_body(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    base_bands: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    from ._ckpt import unpersist_ckpt
+
     # stored-artifact validation: a band table built under different
     # parameters or a different seed family shares NO (band, bh) values
     # with fresh keys — the probe join would silently return zero cross
@@ -603,12 +693,13 @@ def incremental_duplicates(
             )
         base_bands = base_bands.drop("sig_v")
     # signing the shard is the expensive stage and feeds three join legs
-    # (within l/r + cross l): persist it, like the sibling operators'
-    # shingle scratch — and release before returning
+    # (within l/r + cross l): materialize it (eager localCheckpoint, not
+    # the columnar SQL cache — same A/B as minhash_lsh_duplicates) and
+    # release before returning
     new_bands = minhash_band_table(
         new_docs, n=n, text_col=text_col, num_hashes=num_hashes, bands=bands,
         stamp=False,
-    ).persist()
+    ).localCheckpoint(eager=True)
     within = (
         new_bands.alias("l")
         .join(new_bands.alias("r"), on=["band", "bh"])
@@ -629,18 +720,27 @@ def incremental_duplicates(
         )
     )
     # eagerly cut so the band plans are not replayed once per verify
-    # consumer (the shared tail joins cand three ways)
-    cand = within.unionByName(cross).distinct().localCheckpoint(eager=True)
-    new_bands.unpersist()
-    if own_persist is not None:
-        own_persist.unpersist()
+    # consumer (the shared tail joins cand three ways); the cut also
+    # guarantees the shard-band blocks can be released NOW even if a
+    # later stage throws
+    try:
+        cand = within.unionByName(cross).distinct().localCheckpoint(eager=True)
+    finally:
+        unpersist_ckpt(new_bands)
     # verify against the union corpus, shingling each overlap doc ONCE:
-    # the same id appearing in both inputs (same id = same doc) would
-    # otherwise fan out every pair that touches it in the verify join
-    touched = (
-        new_docs.select("doc_id", text_col)
-        .unionByName(base_docs.select("doc_id", text_col))
-        .dropDuplicates(["doc_id"])
+    # the same id appearing in both inputs (same id = same doc) must not
+    # fan out every pair that touches it in the verify join.  The overlap
+    # is removed structurally — new docs verbatim, base docs anti-joined
+    # on the new ids — rather than a union-wide dropDuplicates whose
+    # documented O(shard) cost depended on Catalyst pushing the verify
+    # stage's candidate semi-join below the aggregate (round-8 ADVICE:
+    # engines without PushDownLeftSemiAntiJoin shuffled the full base
+    # corpus text).  Same rows either way: an overlapping id is the same
+    # doc by contract, so keeping the new copy == keeping any copy.
+    touched = new_docs.select("doc_id", text_col).unionByName(
+        base_docs.select("doc_id", text_col).join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        )
     )
     return _verify_candidates(cand, touched, text_col, n, threshold)
 
