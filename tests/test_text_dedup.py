@@ -871,3 +871,40 @@ def test_incremental_lazy_base_detection(spark):
             for r in dedup.incremental_duplicates(new, docs, stored, threshold=0.5).collect()
         }
         assert a == b == {(1, 2)}
+
+
+def test_sig_v_footer_bounds(spark, tmp_path):
+    """The O(metadata) staleness bound (round-9): a bare parquet scan's
+    sig_v min/max must come straight from footer statistics and match
+    the fingerprint; filtered/derived frames must DECLINE (None) so the
+    exact agg path judges them instead of whole-file stats."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_spark.operators.dedup import (
+        _sig_v_bounds_from_footers,
+        minhash_params_hash,
+    )
+
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "b c d e f g")])
+    path = str(tmp_path / "bands_pq")
+    dedup.minhash_band_table(docs).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    want = minhash_params_hash()
+    assert _sig_v_bounds_from_footers(stored) == (want, want)
+    # column-pruned projection is still a bare scan
+    assert _sig_v_bounds_from_footers(stored.select("sig_v", "band")) == (
+        want,
+        want,
+    )
+    # a FILTERED frame must not be judged by whole-file footer bounds
+    assert _sig_v_bounds_from_footers(stored.filter(F.col("band") == 0)) is None
+    # a computed (non-file) frame declines too
+    assert _sig_v_bounds_from_footers(dedup.minhash_band_table(docs)) is None
+    # mixed-era files under one directory: bounds straddle -> probe raises
+    dedup.minhash_band_table(docs).withColumn(
+        "sig_v", F.col("sig_v") - 7
+    ).write.mode("append").parquet(path)
+    mixed = spark.read.parquet(path)
+    lo, hi = _sig_v_bounds_from_footers(mixed)
+    assert lo == want - 7 and hi == want
+    new = _docs(spark, [(10, "a b c d e f")])
+    with pytest.raises(ValueError, match="fingerprint"):
+        dedup.incremental_duplicates(new, docs, mixed, threshold=0.8).count()
