@@ -227,7 +227,11 @@ def ngram_jaccard_duplicates(
     )
     cand = (
         prefix.alias("l")
-        .join(prefix.alias("r"), on="g")
+        # hash, not sort-merge: prefix keys are df-ascending (rare by
+        # construction), so build-side partitions stay uniform and the
+        # two 8M-row sorts are pure overhead (r09 interleaved A/B:
+        # 2.1-5.4 s hash vs 3.5-19.8 s sort-merge at 1M docs)
+        .join(prefix.alias("r").hint("shuffle_hash"), on="g")
         .filter(
             (F.col("l.doc_id") < F.col("r.doc_id"))
             & (F.col("l.sz") >= F.lit(threshold) * F.col("r.sz"))
@@ -579,10 +583,15 @@ def minhash_lsh_duplicates(
     ).localCheckpoint(eager=True)
     # the candidate cut is eagerly materialized: it feeds the id set
     # (twice) and the verify join, and without the cut each consumer
-    # would replay the band self-join
+    # would replay the band self-join.  SHUFFLE_HASH on the build leg:
+    # sort-merge pays two 32M-row sorts this equi-join does not need —
+    # the r09 interleaved A/B measured 2.8-6.4 s (hash) vs 6.6-38 s
+    # (sort-merge) at 1M docs.  Build-side partitions are bounded: band
+    # keys are near-unique (bucket size tracks near-dup group size), so
+    # a partition's hash table is ~rows/shuffle-partitions, uniform.
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), on=["band", "bh"])
+        .join(banded.alias("r").hint("shuffle_hash"), on=["band", "bh"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
@@ -718,12 +727,18 @@ def _incremental_body(
     ).localCheckpoint(eager=True)
     within = (
         new_bands.alias("l")
-        .join(new_bands.alias("r"), on=["band", "bh"])
+        # same sort-elision as the minhash_lsh_duplicates self-join
+        .join(new_bands.alias("r").hint("shuffle_hash"), on=["band", "bh"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
     )
     cross = (
-        new_bands.alias("l")
+        # build the (small) shard side's hash table and STREAM the stored
+        # side: a bucketed stored table still joins exchange-free (the
+        # hash distribution requirement is met by the bucket layout,
+        # probed at 1 Exchange total in the r09 A/B: 2.0-2.5 s hash vs
+        # 2.5-14.6 s sort-merge, which paid a shard-side sort)
+        new_bands.alias("l").hint("shuffle_hash")
         .join(base_bands.alias("r"), on=["band", "bh"])
         # a shard doc whose id already exists in the base (re-ingest)
         # band-matches ITSELF in every band: least/greatest folds that to
