@@ -75,6 +75,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread_skinny(docs: DataFrame) -> DataFrame:
+    """Skinny-input rule (see operators/pairs.py): a one-file parquet
+    corpus is one partition, and the corpus-wide tokenize/gram/sign
+    stage — the expensive map side of every dedup family — would run on
+    a single core.  Round-robin repartition is output-invariant here
+    (all consumers are per-row ops, joins or aggregates)."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    return docs
+
+
 def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, distinct word-n-gram array) — [] for short docs.
 
@@ -194,6 +206,7 @@ def ngram_jaccard_duplicates(
 
     from ._ckpt import unpersist_ckpt
 
+    docs = _spread_skinny(docs)
     # eager localCheckpoint, not .persist(): the SQL cache's columnar
     # encode of these scratch frames costs multiples of the checkpoint's
     # plain row blocks at 1M docs (same A/B as minhash_lsh_duplicates)
@@ -573,6 +586,7 @@ def minhash_lsh_duplicates(
     # returning like all dedup scratch
     from ._ckpt import unpersist_ckpt
 
+    docs = _spread_skinny(docs)
     banded = minhash_band_table(
         docs,
         n=n,
@@ -1119,7 +1133,7 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= hamming_max (exact — chunk
     blocking plus popcount verification; see hamming_near_duplicates)."""
-    sigs = simhash(docs, text_col)
+    sigs = simhash(_spread_skinny(docs), text_col)
     return hamming_near_duplicates(
         sigs, hamming_max, SIMHASH_BITS, id_col="doc_id", sig_col="simhash"
     )
