@@ -215,7 +215,12 @@ def ngram_jaccard_duplicates(
     df_counts = inv.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
     prefix = (
-        inv.join(df_counts, "g")
+        # hash-join the df map onto the inverted index (build = counts
+        # side, one skinny (g, df) entry per distinct gram per
+        # partition): sort-merge sorted both 39M-row legs before the
+        # window's own doc_id sort — r09 interleaved A/B, all-clean
+        # controls: 5.8-9.3 s vs 6.9-11.1 s for the prefix stage at 1M
+        inv.join(df_counts.hint("shuffle_hash"), "g")
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
