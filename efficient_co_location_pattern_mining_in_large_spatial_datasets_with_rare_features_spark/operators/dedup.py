@@ -212,15 +212,23 @@ def ngram_jaccard_duplicates(
     # plain row blocks at 1M docs (same A/B as minhash_lsh_duplicates)
     gh = _gram_hashes(docs, text_col, n).localCheckpoint(eager=True)
     inv = gh.select("doc_id", F.size("gh").alias("sz"), F.explode("gh").alias("g"))
-    df_counts = inv.groupBy("g").agg(F.count("*").alias("df"))
+    # the df map keeps only grams that occur in >1 doc: a df-1 gram's
+    # count is implied (coalesce below), and on any real corpus the
+    # unique-gram tail dominates the distinct-gram count — here 740k of
+    # 31M distinct grams survive, a 42x smaller join map (at 100 TB the
+    # difference is a broadcastable map vs a corpus-scale one)
+    df_counts = (
+        inv.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") > 1)
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
     prefix = (
         # hash-join the df map onto the inverted index (build = counts
-        # side, one skinny (g, df) entry per distinct gram per
-        # partition): sort-merge sorted both 39M-row legs before the
-        # window's own doc_id sort — r09 interleaved A/B, all-clean
-        # controls: 5.8-9.3 s vs 6.9-11.1 s for the prefix stage at 1M
-        inv.join(df_counts.hint("shuffle_hash"), "g")
+        # side): sort-merge sorted both legs before the window's own
+        # doc_id sort — r09 interleaved A/Bs, all-clean controls: full
+        # map SMJ 6.9-11.1 s -> full map SHJ 5.8-9.3 s -> df>1 map SHJ
+        # 5.5-5.8 s for the prefix stage at 1M docs
+        inv.join(df_counts.hint("shuffle_hash"), "g", "left")
+        .withColumn("df", F.coalesce("df", F.lit(1)))
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
