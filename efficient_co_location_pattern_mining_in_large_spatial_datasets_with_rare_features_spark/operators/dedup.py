@@ -22,6 +22,8 @@ Embedding near-dup (cosine) lives in similarity.py.
 
 from __future__ import annotations
 
+import os
+
 # module-scope on purpose: pandas_udf resolves its (stringified, thanks to
 # `from __future__ import annotations`) type hints against module globals
 import pandas as pd  # noqa: F401 — needed by pandas_udf hint resolution
@@ -73,6 +75,33 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("group_size") > 1)
         .select("doc_id", "canonical_id", "group_size")
     )
+
+
+def _small_input(docs: DataFrame) -> bool:
+    """True only when the input's Catalyst size estimate is unambiguously
+    tiny (< SPARK_GRAFT_DEDUP_SMALL_BYTES, default 4 MiB).
+
+    Gates the dedup scratch materialization choice: corpus-scale scratch
+    must be row-checkpointed (the SQL cache's columnar encode costs
+    multiples of plain row blocks at 1M docs, and the eager cut gives
+    deterministic release points), but each eager checkpoint is its own
+    synchronous job, and at 5k docs those barriers cost more than the
+    whole lazily-fused pipeline (r09 interleaved bisection: 3.5 s lazy
+    persist vs 9.4 s eager checkpoints, identical output).  The estimate
+    is coarse — expression-generated frames report ~18 bytes/row — so
+    the threshold is deliberately far below any real crossover and any
+    estimator failure falls through to the scale-safe checkpoint path.
+    """
+    # env read per call, not at import: tests force each path by flipping
+    # the threshold, and the lookup is nothing next to a Spark job
+    thr = int(os.environ.get("SPARK_GRAFT_DEDUP_SMALL_BYTES", str(4 << 20)))
+    try:
+        est = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False  # unknown size -> scale-safe checkpoint path
+    return est < thr
 
 
 def _spread_skinny(docs: DataFrame) -> DataFrame:
@@ -207,10 +236,17 @@ def ngram_jaccard_duplicates(
     from ._ckpt import unpersist_ckpt
 
     docs = _spread_skinny(docs)
-    # eager localCheckpoint, not .persist(): the SQL cache's columnar
-    # encode of these scratch frames costs multiples of the checkpoint's
-    # plain row blocks at 1M docs (same A/B as minhash_lsh_duplicates)
-    gh = _gram_hashes(docs, text_col, n).localCheckpoint(eager=True)
+    # Scratch materialization is size-adaptive (_small_input): at corpus
+    # scale, eager localCheckpoint — the SQL cache's columnar encode of
+    # these frames costs multiples of the checkpoint's plain row blocks
+    # at 1M docs (same A/B as minhash_lsh_duplicates).  At small scale,
+    # lazy .persist() — each eager checkpoint is its own synchronous job
+    # barrier, and at 5k docs the two barriers cost more than the whole
+    # lazily-fused pipeline (r09 bisection: 3.5 s vs 9.4 s warm,
+    # identical pairs).
+    small = _small_input(docs)
+    gh = _gram_hashes(docs, text_col, n)
+    gh = gh.persist() if small else gh.localCheckpoint(eager=True)
     inv = gh.select("doc_id", F.size("gh").alias("sz"), F.explode("gh").alias("g"))
     # the df map keeps only grams that occur in >1 doc: a df-1 gram's
     # count is implied (coalesce below), and on any real corpus the
@@ -235,7 +271,9 @@ def ngram_jaccard_duplicates(
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
         .select("doc_id", "sz", "pos", "g")
-    ).localCheckpoint(eager=True)  # self-joined below: without this the window runs twice
+    )
+    # self-joined below: without a materialization the window runs twice
+    prefix = prefix.persist() if small else prefix.localCheckpoint(eager=True)
     # Two exact candidate prunes (PPJoin family):
     # - size compatibility: J >= t implies t*|B| <= |A|;
     # - position filter: with both shingle lists in the same global order, a
@@ -268,10 +306,19 @@ def ngram_jaccard_duplicates(
             F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
         )
         .distinct()
-        # eagerly cut so the verify join does not replay the prefix
-        # self-join, and so the index scratch can be released NOW
-        .localCheckpoint(eager=True)
     )
+    # cut so the verify join does not replay the prefix self-join, and so
+    # the index scratch can be released NOW.  Eager checkpoint at scale
+    # (the barrier is noise next to the 1M self-join, blocks GC-managed,
+    # deterministic release).  At small size the checkpoint ALONE costs
+    # ~5 s of an ~9 s operator — its LogicalRDD hides cand's tiny size
+    # from every verify join and its synchronous job splits the fused
+    # pipeline (r09 bisection: persist 3.5 s vs checkpoint 8.9 s warm,
+    # only this line varied) — so small mode uses the SQL cache.  The
+    # cache entry it pins is candidate pairs from a <4 MiB-estimate
+    # input (KBs) — bounded by the same gate, unlike the corpus-scale
+    # index caches of the round-7 leak.
+    cand = cand.persist() if small else cand.localCheckpoint(eager=True)
     # Scratch release (round-7 diagnosis): scratch left in the registry
     # or block store was a session leak — every call left its index
     # caches pinned forever, and the accumulated storage blocks inflated
@@ -280,8 +327,12 @@ def ngram_jaccard_duplicates(
     # after clearCache).  The checkpointed candidate cut is compact
     # (duplicate pairs are O(dup-rate x docs)) and its blocks are
     # GC-managed, not registry-pinned.
-    unpersist_ckpt(gh)
-    unpersist_ckpt(prefix)
+    if small:
+        gh.unpersist()
+        prefix.unpersist()
+    else:
+        unpersist_ckpt(gh)
+        unpersist_ckpt(prefix)
     return _verify_candidates(cand, docs, text_col, n, threshold)
 
 

@@ -77,6 +77,25 @@ def test_ngram_jaccard_exact_contract(spark):
     assert abs(pairs[(1, 2)] - 7.0 / 9.0) < 1e-12
 
 
+def test_ngram_scratch_modes_identical(spark, monkeypatch):
+    """The size-adaptive scratch materialization (persist vs eager
+    localCheckpoint, dedup._small_input) must be output-invariant: force
+    each path via the threshold env and compare full rows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        return sorted(
+            (r.a_id, r.b_id, round(r.jaccard, 12))
+            for r in dedup.ngram_jaccard_duplicates(docs, threshold=0.8).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_SMALL_BYTES", str(1 << 60))
+    small_rows = run()
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_SMALL_BYTES", "0")
+    large_rows = run()
+    assert small_rows == large_rows and small_rows
+
+
 def test_minhash_lsh_finds_near_dupes(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     df = _docs(spark, [
