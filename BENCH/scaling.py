@@ -60,11 +60,34 @@ def build_instances(spark, rep: int):
     )
 
 
+def per_core_shuffle(env) -> int | None:
+    """Validated SPARK_GRAFT_SHUFFLE_PER_CORE: a positive int, or None
+    for fixed mode.  "0" is truthy as a string and would configure 0
+    shuffle partitions (invalid Spark conf), and a non-integer value
+    used to raise mid-campaign — both fall back to fixed mode with a
+    logged warning instead (round-8 ADVICE)."""
+    raw = env.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
+    if not raw:
+        return None
+    try:
+        k = int(raw)
+    except ValueError:
+        k = 0
+    if k <= 0:
+        print(
+            f"WARNING: ignoring SPARK_GRAFT_SHUFFLE_PER_CORE={raw!r} "
+            "(need a positive integer); using fixed shuffle sizing",
+            file=sys.stderr,
+        )
+        return None
+    return k
+
+
 def shuffle_partitions_for(cpus: int, env) -> int:
     """Shuffle-partition count for one leg (unit-tested)."""
-    per_core = env.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
+    per_core = per_core_shuffle(env)
     if per_core:
-        return int(per_core) * cpus
+        return per_core * cpus
     return int(env.get("SPARK_GRAFT_SHUFFLE", "64"))
 
 
@@ -153,7 +176,9 @@ _DEFAULT_WORKLOAD = (
     and SF_DIR == "/root/testdata/sf0.1"
     and os.environ.get("SPARK_GRAFT_SCALE_PLAN", "subtree") == "subtree"
     and os.environ.get("SPARK_GRAFT_SHUFFLE", "64") == "64"
-    and not os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
+    # validated parse: an invalid per-core value falls back to fixed
+    # sizing, so the leg genuinely runs the default workload
+    and per_core_shuffle(os.environ) is None
     and not os.environ.get("SPARK_GRAFT_SCALE_EXTRA")
 )
 
@@ -442,7 +467,7 @@ def main() -> None:
         "witness_tol": WITNESS_TOL,
         # per-leg partitions also land in each run dict; this echoes the
         # mode so the artifact is self-describing without the env
-        "shuffle_per_core": os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE"),
+        "shuffle_per_core": per_core_shuffle(os.environ),
         "attempts": attempts,
         "n_rejected_windows": sum(1 for a in attempts if not a["accepted"]),
         f"accepted_runs_{lo}": [r["wall_sec"] for r in accepted[lo]],

@@ -38,11 +38,47 @@ PAUSE_FILE = os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "/tmp/scaling_pause")
 LAT_GATE = float(os.environ.get("SPARK_GRAFT_WATCH_LAT_GATE", "1.35"))
 
 
+def single_ref_ns() -> float:
+    """Healthy single-process per-miss reference for the latency gate.
+
+    Priority: SPARK_GRAFT_WATCH_LAT_SINGLE_NS override, then a start-up
+    calibration (best of two serial chases on THIS host — best-of, so a
+    single loaded calibration window can only tighten the gate, never
+    loosen it), then the 2026-08-19 host constant.  Round-8 ADVICE: the
+    hard-coded calibration silently mis-gates on different hardware."""
+    raw = os.environ.get("SPARK_GRAFT_WATCH_LAT_SINGLE_NS")
+    if raw:
+        try:
+            v = float(raw)
+            if v > 0:
+                return v
+        except ValueError:
+            pass
+        print(
+            f"WARNING: bad SPARK_GRAFT_WATCH_LAT_SINGLE_NS={raw!r}; "
+            "recalibrating",
+            flush=True,
+        )
+    try:
+        from probe_mem_latency import chase
+
+        return min(chase(), chase()) * 1e9
+    except Exception as e:  # calibration is best-effort; keep watching
+        print(
+            f"WARNING: start-up latency calibration failed ({e!r}); "
+            f"using host constant {BEST_SINGLE_NS} ns",
+            flush=True,
+        )
+        return BEST_SINGLE_NS
+
+
 def main() -> None:
     hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
     deadline = time.time() + hours * 3600
     bench_dir = os.path.dirname(os.path.abspath(__file__))
     log = os.path.join(bench_dir, "watch_8_32_probes.jsonl")
+    ref_ns = single_ref_ns()
+    print(json.dumps({"lat_ref_ns": round(ref_ns, 1)}), flush=True)
     while time.time() < deadline:
         while os.path.exists(PAUSE_FILE) and time.time() < deadline:
             time.sleep(30)
@@ -51,9 +87,17 @@ def main() -> None:
         c = control(32)
         if c["clean"]:
             # second gate: the register burn cannot witness latency
-            # starvation, which is what actually flattens the leg
-            c.update(lat_probe(32))
-            c["lat_ok"] = c["lat_wide_mean_ns"] <= LAT_GATE * BEST_SINGLE_NS
+            # starvation, which is what actually flattens the leg.  A
+            # failed probe child (empty stdout) must not kill a watch
+            # that may have hours left — log and skip the window
+            # (round-8 ADVICE).
+            try:
+                c.update(lat_probe(32))
+                c["lat_ref_ns"] = round(ref_ns, 1)
+                c["lat_ok"] = c["lat_wide_mean_ns"] <= LAT_GATE * ref_ns
+            except Exception as e:
+                c["lat_ok"] = False
+                c["lat_err"] = repr(e)
         with open(log, "a") as f:
             f.write(json.dumps(c) + "\n")
         print(json.dumps(c), flush=True)

@@ -237,6 +237,45 @@ def test_shuffle_partitions_per_core_scales_with_cpus():
     assert scaling.shuffle_partitions_for(32, env) == 512
 
 
+def test_per_core_shuffle_invalid_falls_back_fixed(capsys):
+    """'0' is truthy as a string and used to configure 0 shuffle
+    partitions (an invalid Spark conf); a non-integer raised ValueError
+    mid-campaign.  Both now fall back to fixed sizing with a logged
+    warning (round-8 ADVICE)."""
+    for bad in ("0", "-4", "junk"):
+        env = {"SPARK_GRAFT_SHUFFLE_PER_CORE": bad}
+        assert scaling.per_core_shuffle(env) is None
+        assert scaling.shuffle_partitions_for(32, env) == 64
+    assert "SPARK_GRAFT_SHUFFLE_PER_CORE" in capsys.readouterr().err
+    # empty/unset is plain fixed mode, no warning
+    assert scaling.per_core_shuffle({"SPARK_GRAFT_SHUFFLE_PER_CORE": ""}) is None
+    assert scaling.per_core_shuffle({}) is None
+    assert capsys.readouterr().err == ""
+
+
+def test_watch_single_ref_override_calibration_and_fallback(monkeypatch):
+    """The watcher's latency gate reference: env override wins; a bad
+    override recalibrates (best of two serial chases, so a loaded
+    calibration window can only tighten the gate); a failed calibration
+    falls back to the host constant instead of killing the watch
+    (round-8 ADVICE)."""
+    watch = _load("watch_8_32")
+    pml = sys.modules["probe_mem_latency"]
+    monkeypatch.setenv("SPARK_GRAFT_WATCH_LAT_SINGLE_NS", "200.5")
+    assert watch.single_ref_ns() == 200.5
+    monkeypatch.setenv("SPARK_GRAFT_WATCH_LAT_SINGLE_NS", "junk")
+    vals = iter([300e-9, 250e-9])
+    monkeypatch.setattr(pml, "chase", lambda: next(vals))
+    assert watch.single_ref_ns() == pytest.approx(250.0)
+
+    def _boom():
+        raise RuntimeError("child died")
+
+    monkeypatch.delenv("SPARK_GRAFT_WATCH_LAT_SINGLE_NS")
+    monkeypatch.setattr(pml, "chase", _boom)
+    assert watch.single_ref_ns() == watch.BEST_SINGLE_NS
+
+
 def test_per_core_shuffle_disables_witness_floors(monkeypatch):
     """Per-core shuffle sizing is a workload-affecting override: the
     witness floors were measured under fixed-64 and must not accept
